@@ -1,0 +1,227 @@
+"""Ray-primitive intersection kernels.
+
+TPU-native re-creation of the reference's analytic intersectors
+(solr/engines/cuda/GeometryIntersections.cuh: sphereIntersection,
+cylinderIntersection, ellipsoidIntersection, planeIntersection,
+triangleIntersection, boxIntersection) — redesigned from per-thread
+branchy scalar code into fully vectorized kernels for the 8x128 VPU.
+
+Two calling forms per primitive type:
+  * ``*_t_p`` — pairwise/broadcast: ray arrays and primitive arrays have
+    broadcast-compatible shapes ``(..., 3)``; used for BVH leaf tests
+    (each ray against its own gathered leaf primitives) and Pallas blocks.
+  * ``*_t`` — matrix: rays ``(R, 3)`` x pool ``(N, ...)`` returning the
+    ``(R, N)`` t-matrix; used by the brute-force sweep.
+
+Conventions:
+  * Returns smallest valid hit distance with t > t_min, else ``T_FAR``.
+    Rays starting inside a closed primitive get the *exit* hit (required
+    for refraction).
+  * Everything is differentiable: discriminants are clamped before sqrt
+    and invalid lanes masked with ``jnp.where`` so gradients are NaN-free.
+  * Inert padding: sphere/cylinder radius <= 0, ellipsoid radii <= 0,
+    plane half_extents <= 0, and degenerate triangles never hit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from solr_tpu.constants import INTERSECT_EPS, T_FAR
+from solr_tpu.ops.vecmath import cross, dot
+
+__all__ = [
+    "sphere_t_p",
+    "triangle_t_p",
+    "cylinder_t_p",
+    "ellipsoid_t_p",
+    "sphere_t",
+    "triangle_t",
+    "cylinder_t",
+    "ellipsoid_t",
+    "plane_t",
+    "triangle_bary",
+    "aabb_hit",
+]
+
+
+def _pick_root(t1, t2, valid, t_min):
+    """Smallest root > t_min among (t1, t2) where valid, else T_FAR."""
+    t1 = jnp.where(valid & (t1 > t_min), t1, T_FAR)
+    t2 = jnp.where(valid & (t2 > t_min), t2, T_FAR)
+    return jnp.minimum(t1, t2)
+
+
+# --------------------------------------------------------------------------
+# Pairwise (broadcast) kernels
+# --------------------------------------------------------------------------
+
+
+def sphere_t_p(o, d, center, radius, t_min):
+    """Ray-sphere, broadcastable (reference: sphereIntersection)."""
+    oc = o - center
+    b = dot(oc, d)
+    c = dot(oc, oc) - radius * radius
+    disc = b * b - c
+    valid = (disc > 0.0) & (radius > 0.0)
+    # Double-where: sqrt must never see the clamped branch or its
+    # gradient is 0 * inf = NaN on missed/padded lanes.
+    sq = jnp.sqrt(jnp.where(valid, disc, 1.0))
+    return _pick_root(-b - sq, -b + sq, valid, t_min)
+
+
+def triangle_t_p(o, d, v0, v1, v2, t_min):
+    """Ray-triangle Moller-Trumbore, broadcastable, two-sided
+    (reference: triangleIntersection; back faces shade for refraction)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = cross(d, e2)
+    det = dot(p, e1)
+    safe = jnp.abs(det) > INTERSECT_EPS
+    inv_det = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, det, 1.0)
+    tvec = o - v0
+    u = dot(tvec, p) * inv_det
+    q = cross(tvec, e1)
+    v = dot(q, d) * inv_det
+    t = dot(q, e2) * inv_det
+    valid = safe & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return jnp.where(valid & (t > t_min), t, T_FAR)
+
+
+def cylinder_t_p(o, d, p0, p1, radius, t_min):
+    """Finite (uncapped) cylinder p0 -> p1, broadcastable (reference:
+    cylinderIntersection — side surface; bond ends closed by spheres)."""
+    axis = p1 - p0
+    h2 = dot(axis, axis)
+    inv_h2 = 1.0 / jnp.maximum(h2, INTERSECT_EPS)
+    oc = o - p0
+    d_a = dot(d, axis)
+    oc_a = dot(oc, axis)
+    a = 1.0 - d_a * d_a * inv_h2
+    b = dot(oc, d) - d_a * oc_a * inv_h2
+    c = dot(oc, oc) - oc_a * oc_a * inv_h2 - radius * radius
+    safe_a = jnp.maximum(a, INTERSECT_EPS)
+    disc = b * b - safe_a * c
+    base = (disc > 0.0) & (a > INTERSECT_EPS) & (radius > 0.0)
+    sq = jnp.sqrt(jnp.where(base, disc, 1.0))  # double-where: no NaN grad
+    t1 = (-b - sq) / safe_a
+    t2 = (-b + sq) / safe_a
+    s1 = oc_a + t1 * d_a
+    s2 = oc_a + t2 * d_a
+    t1 = jnp.where(base & (s1 >= 0.0) & (s1 <= h2) & (t1 > t_min), t1, T_FAR)
+    t2 = jnp.where(base & (s2 >= 0.0) & (s2 <= h2) & (t2 > t_min), t2, T_FAR)
+    return jnp.minimum(t1, t2)
+
+
+def ellipsoid_t_p(o, d, center, radii, t_min):
+    """Axis-aligned ellipsoid via unit-sphere scaling, broadcastable
+    (reference: ellipsoidIntersection).  t is along the world-space ray."""
+    inv_r = 1.0 / jnp.maximum(radii, INTERSECT_EPS)
+    oc = (o - center) * inv_r
+    dd = d * inv_r
+    a = dot(dd, dd)
+    b = dot(oc, dd)
+    c = dot(oc, oc) - 1.0
+    disc = b * b - a * c
+    valid = (disc > 0.0) & jnp.all(radii > 0.0, axis=-1)
+    sq = jnp.sqrt(jnp.where(valid, disc, 1.0))  # double-where: no NaN grad
+    safe_a = jnp.maximum(a, INTERSECT_EPS)
+    return _pick_root((-b - sq) / safe_a, (-b + sq) / safe_a, valid, t_min)
+
+
+# --------------------------------------------------------------------------
+# Matrix kernels: rays (R, 3) x pool (N, ...) -> (R, N)
+# --------------------------------------------------------------------------
+
+
+def _rays(o, d):
+    return o[..., None, :], d[..., None, :]
+
+
+def sphere_t(o, d, center, radius, t_min):
+    ob, db = _rays(o, d)
+    return sphere_t_p(ob, db, center[None], radius[None], t_min)
+
+
+def triangle_t(o, d, v0, v1, v2, t_min):
+    ob, db = _rays(o, d)
+    return triangle_t_p(ob, db, v0[None], v1[None], v2[None], t_min)
+
+
+def cylinder_t(o, d, p0, p1, radius, t_min):
+    ob, db = _rays(o, d)
+    return cylinder_t_p(ob, db, p0[None], p1[None], radius[None], t_min)
+
+
+def ellipsoid_t(o, d, center, radii, t_min):
+    ob, db = _rays(o, d)
+    return ellipsoid_t_p(ob, db, center[None], radii[None], t_min)
+
+
+def plane_t(o, d, axis, origin, half_extents, t_min):
+    """Axis-aligned bounded rectangle (reference: planeIntersection for
+    ptXYPlane/ptYZPlane/ptXZPlane with extent test).  Two-sided.
+
+    Args:
+      o, d: (R, 3); axis: (N,) int32 normal-axis index; origin: (N, 3);
+      half_extents: (N, 2) half sizes along the two in-plane axes in
+      ascending axis order.
+    """
+    ar = jnp.arange(3)
+    nmask = ar[None, :] == axis[:, None]  # (N, 3)
+    d_n = jnp.sum(jnp.where(nmask[None], d[..., None, :], 0.0), axis=-1)
+    o_n = jnp.sum(jnp.where(nmask[None], o[..., None, :], 0.0), axis=-1)
+    c_n = jnp.sum(jnp.where(nmask, origin, 0.0), axis=-1)  # (N,)
+    safe = jnp.abs(d_n) > INTERSECT_EPS
+    t = jnp.where(safe, c_n[None, :] - o_n, 0.0) / jnp.where(safe, d_n, 1.0)
+    p = o[..., None, :] + t[..., None] * d[..., None, :]  # (R, N, 3)
+    dev = jnp.where(nmask[None], 0.0, jnp.abs(p - origin[None, :, :]))
+    he3 = _expand_half_extents(axis, half_extents)  # (N, 3)
+    inside = jnp.all(dev <= he3[None, :, :], axis=-1)
+    valid = safe & inside & jnp.all(half_extents > 0.0, axis=-1)[None, :]
+    return jnp.where(valid & (t > t_min), t, T_FAR)
+
+
+def _expand_half_extents(axis, half_extents):
+    """(N,) axis + (N, 2) extents -> (N, 3) per-axis bound; the normal
+    axis slot is huge (deviation there is ~0 at the hit point)."""
+    ar = jnp.arange(3)
+    nmask = ar[None, :] == axis[:, None]
+    below = (ar[None, :] > axis[:, None]).astype(jnp.int32)
+    slot = jnp.where(ar[None, :] < axis[:, None], 0, below)
+    he = jnp.take_along_axis(half_extents, jnp.clip(slot, 0, 1), axis=-1)
+    return jnp.where(nmask, T_FAR, he)
+
+
+# --------------------------------------------------------------------------
+# Support kernels
+# --------------------------------------------------------------------------
+
+
+def triangle_bary(o, d, v0, v1, v2):
+    """Barycentric (u, v) of the ray-plane hit for *matched* ray/triangle
+    pairs (post-argmin shading reconstruction).  All args (..., 3)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = cross(d, e2)
+    det = dot(p, e1)
+    safe = jnp.abs(det) > INTERSECT_EPS
+    inv_det = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, det, 1.0)
+    tvec = o - v0
+    u = dot(tvec, p) * inv_det
+    v = dot(cross(tvec, e1), d) * inv_det
+    return u, v
+
+
+def aabb_hit(o, inv_d, bmin, bmax, t_min, t_max):
+    """Slab test (reference: boxIntersection — the BVH node test).
+
+    Args (broadcast-compatible): o, inv_d (..., 3); bmin/bmax (..., 3);
+    t_min/t_max scalars or (...,).
+    Returns bool — [tn, tf] overlaps [t_min, t_max].
+    """
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tn <= tf) & (tf >= t_min) & (tn <= t_max)

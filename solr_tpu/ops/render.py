@@ -1,0 +1,229 @@
+"""The render loop: iterative bounce chain, background, progressive
+accumulation.
+
+TPU-native re-creation of the reference's render kernels and light
+transport loop (solr/engines/cuda/CudaRayTracer.cu: k_standardRenderer
+etc. + solr/engines/cuda/GeometryShaders.cuh: launchRay — the iterative
+reflection/refraction bounce loop with back-to-front attenuation
+blending, bounded by NB_MAX_ITERATIONS).
+
+Redesign: the per-thread sequential bounce loop becomes a `lax.scan`
+over bounces carrying (origin, direction, throughput, color, live) for
+the whole ray batch at once; continuation choice (refract if
+transparent, else reflect — the reference's exact rule) is a masked
+select; radiance accumulates forward with a running throughput product
+(mathematically identical to the reference's back-to-front blend).
+Everything is differentiable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from solr_tpu.constants import RAY_EPS
+from solr_tpu.ops import textures as tex_ops
+from solr_tpu.ops.camera import camera_rays, eye_rays
+from solr_tpu.ops.shade import phong_shade
+from solr_tpu.ops.traverse import scene_closest_hit, surface_at
+from solr_tpu.ops.vecmath import dot, normalize, reflect, refract
+from solr_tpu.types import Camera, CameraMode, RenderConfig, Scene
+
+__all__ = ["render", "render_sample", "trace_rays", "background_color",
+           "accumulate"]
+
+_MIN_THROUGHPUT = 1e-3
+
+
+def background_color(scene: Scene, cfg: RenderConfig, d):
+    """Miss radiance (reference: the background/skybox branch of
+    launchRay — solid color, vertical gradient, or spherical skybox
+    texture via skyboxMapping)."""
+    info = scene.info
+    if cfg.sky_texture >= 0 and scene.textures.count > 0:
+        from solr_tpu.ops.vecmath import spherical_uv
+
+        uv = spherical_uv(d)
+        tid = jnp.full(d.shape[:-1], cfg.sky_texture, jnp.int32)
+        return tex_ops.sample_texture(scene.textures, tid, uv)
+    if cfg.gradient_background:
+        t = jnp.clip(0.5 + 0.5 * d[..., 1], 0.0, 1.0)[..., None]
+        return (1.0 - t) * info.gradient_sky_horizon + t * info.gradient_sky_zenith
+    return jnp.broadcast_to(info.background_color, d.shape[:-1] + (4,))
+
+
+def trace_rays(
+    scene: Scene,
+    o,
+    d,
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+):
+    """Trace a flat ray batch through the bounce chain.
+
+    Returns (color (R, 4), primary_t (R,)) — primary hit distance feeds
+    depth-of-field post-processing (reference: the depth written to
+    d_primitivesXYIds / the post-processing buffer).
+    """
+    r = o.shape[0]
+    dtype = o.dtype
+    mats = scene.materials
+
+    def bounce(carry, bounce_key):
+        o, d, thru, color, live, dist0 = carry
+        hit = scene_closest_hit(scene, o, d, use_bvh=cfg.use_bvh)
+        valid = hit.valid & live
+        surf = surface_at(scene, hit, o, d)
+
+        local = phong_shade(scene, surf, d, cfg, bounce_key)  # (R,4)
+
+        m = surf.material
+        w_refr = mats.transparency[m]
+        w_refl = mats.reflection[m]
+        has_refr = w_refr > 1e-4
+        w = jnp.where(has_refr, w_refr, w_refl)
+        own = 1.0 - w
+
+        # Fog / view-distance attenuation (reference: the viewDistance
+        # falloff applied to accumulated color in launchRay).
+        if cfg.fog:
+            total_d = dist0 + jnp.where(valid, hit.t, 0.0)
+            span = jnp.maximum(scene.info.view_distance - scene.info.fog_start,
+                               1e-3)
+            fog = jnp.clip(1.0 - (total_d - scene.info.fog_start) / span,
+                           0.0, 1.0)
+        else:
+            total_d = dist0
+            fog = jnp.ones((r,), dtype)
+
+        contrib = thru * (own * fog)[..., None] * local
+        color = color + jnp.where(valid[..., None], contrib, 0.0)
+
+        # Miss: add background once, then retire the ray.
+        missed = live & ~hit.valid
+        bg = background_color(scene, cfg, d)
+        color = color + jnp.where(missed[..., None], thru * bg, 0.0)
+
+        # Continuation ray: refract if transparent else reflect
+        # (reference: launchRay's exact branch order).
+        n = surf.shading_normal
+        eta = jnp.where(
+            surf.backface, mats.ior[m], 1.0 / jnp.maximum(mats.ior[m], 1e-3)
+        )
+        refr_d, _ = refract(d, n, eta)
+        refl_d = reflect(d, n)
+        nd = normalize(jnp.where(has_refr[..., None], refr_d, refl_d))
+        no = surf.point + nd * (RAY_EPS * 4.0)
+
+        # Colored-glass tint on refraction; mirrors stay untinted.
+        tint = jnp.where(
+            has_refr[..., None],
+            mats.color[m] * 0.98 + 0.02,
+            jnp.ones_like(local),
+        )
+        thru = thru * w[..., None] * tint
+        live = valid & (w > 1e-4) & (
+            jnp.max(thru[..., :3], axis=-1) > _MIN_THROUGHPUT
+        )
+
+        o = jnp.where(live[..., None], no, o)
+        d = jnp.where(live[..., None], nd, d)
+        return (o, d, thru, color, live, total_d), hit.t
+
+    if key is not None:
+        keys = jax.random.split(key, cfg.max_bounces)
+    else:
+        keys = jnp.zeros((cfg.max_bounces, 2), jnp.uint32)
+        keys = None if key is None else keys
+    init = (
+        o,
+        d,
+        jnp.ones((r, 4), dtype),
+        jnp.zeros((r, 4), dtype),
+        jnp.ones((r,), bool),
+        jnp.zeros((r,), dtype),
+    )
+    if keys is None:
+        (o, d, thru, color, live, _), ts = jax.lax.scan(
+            lambda c, _: bounce(c, None), init, None, length=cfg.max_bounces
+        )
+    else:
+        (o, d, thru, color, live, _), ts = jax.lax.scan(bounce, init, keys)
+    primary_t = ts[0]
+    return color.at[..., 3].set(1.0), primary_t
+
+
+def render_sample(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+):
+    """One progressive sample: (image (H, W, 4), depth (H, W)).
+
+    Dispatches on camera mode (reference: the kernel-variant switch in
+    CudaKernel::render_begin).
+    """
+    dtype = scene.info.background_color.dtype
+    if cfg.camera_mode == CameraMode.ANAGLYPH:
+        kl, kr = (None, None) if key is None else tuple(jax.random.split(key))
+        ol, dl = eye_rays(camera, cfg, -1.0, kl, dtype)
+        orr, dr = eye_rays(camera, cfg, +1.0, kr, dtype)
+        cl, tl = trace_rays(scene, ol, dl, cfg, kl)
+        cr, _ = trace_rays(scene, orr, dr, cfg, kr)
+        # Red/cyan compose (reference: k_anaglyphRenderer).
+        color = jnp.stack(
+            [cl[..., 0], cr[..., 1], cr[..., 2], jnp.ones_like(cl[..., 0])],
+            axis=-1,
+        )
+        t = tl
+    else:
+        o, d = camera_rays(camera, cfg, key, dtype)
+        color, t = trace_rays(scene, o, d, cfg, key)
+    img = color.reshape(cfg.height, cfg.width, 4)
+    depth = t.reshape(cfg.height, cfg.width)
+    return img, depth
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+    spp: int = 1,
+):
+    """Render with ``spp`` progressive samples averaged, plus the
+    configured post-processing pass.  Returns (H, W, 4) float radiance.
+    """
+    from solr_tpu.ops import postfx as postfx_mod
+
+    if spp <= 1 or key is None:
+        img, depth = render_sample(scene, camera, cfg, key)
+    else:
+        keys = jax.random.split(key, spp)
+
+        def one(k):
+            return render_sample(scene, camera, cfg, k)
+
+        imgs, depths = jax.lax.map(one, keys)
+        img = imgs.mean(axis=0)
+        depth = depths[0]
+    img = postfx_mod.apply_postfx(img, depth, scene, camera, cfg, key)
+    return img
+
+
+jit_render = jax.jit(render, static_argnames=("cfg", "spp"))
+"""Jitted entry point: `cfg`/`spp` are static (shape-defining), scene and
+camera are traced — moving the camera or optimizing scene parameters does
+not retrigger compilation (the analog of the reference's one-time kernel
+build in CudaKernel/OpenCLKernel::initializeDevice)."""
+
+
+def accumulate(accum, sample, iteration):
+    """Progressive-refinement running average (reference: the
+    pathTracingIteration blend into the float4 post-processing buffer in
+    k_standardRenderer)."""
+    it = jnp.asarray(iteration, sample.dtype)
+    return (accum * it + sample) / (it + 1.0)

@@ -1,0 +1,129 @@
+"""Local shading: Phong lighting, shadows, textures, emission.
+
+TPU-native re-creation of the reference's shader layer
+(solr/engines/cuda/GeometryShaders.cuh: primitiveShader — ambient +
+per-lamp diffuse/specular with shadow factor — and processShadows —
+shadow rays with transparent-occluder attenuation and soft-shadow light
+jitter), vectorized over rays x lights.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from solr_tpu.constants import RAY_EPS
+from solr_tpu.ops import textures as tex_ops
+from solr_tpu.ops.traverse import SurfaceInfo, scene_transmittance
+from solr_tpu.ops.vecmath import dot, normalize, reflect
+from solr_tpu.types import RenderConfig, Scene
+
+__all__ = ["surface_albedo", "phong_shade"]
+
+
+def surface_albedo(scene: Scene, surf: SurfaceInfo):
+    """Base color at the hit: material color, replaced by the diffuse
+    texture or a procedural texture when present (reference:
+    primitiveShader's texture/procedural branch via
+    advancedTextureMapping)."""
+    m = surf.material
+    mats = scene.materials
+    color = mats.color[m]
+    kind = mats.procedural[m]
+    scale = mats.procedural_scale[m]
+    color = tex_ops.procedural_color(kind, scale, surf.uv, color)
+    tid = mats.texture_diffuse[m]
+    if scene.textures.count > 0:
+        sampled = tex_ops.sample_texture(scene.textures, tid, surf.uv)
+        color = jnp.where((tid >= 0)[..., None], sampled * color, color)
+    return color
+
+
+def phong_shade(
+    scene: Scene,
+    surf: SurfaceInfo,
+    view_dir,
+    cfg: RenderConfig,
+    key: Optional[jax.Array] = None,
+):
+    """Direct lighting at hit points: (R, 4) radiance.
+
+    Semantics (matching the CPU oracle and, structurally, the
+    reference's primitiveShader):
+      out = emission * albedo
+          + ambient * albedo
+          + sum_lights shadow_l * lcol_l * (albedo * max(0, n.l)
+                                            + ks * max(0, r.v)^p)
+      shadow_l = 1 - shadow_intensity * (1 - transmittance_l)
+    Lights are the padded light array (inert padding has color == 0);
+    the light loop is vectorized: shapes (R, L, ...).
+    """
+    info = scene.info
+    mats = scene.materials
+    m = surf.material
+    albedo = surface_albedo(scene, surf)
+    n = surf.shading_normal  # (R, 3), opposes the ray
+    p = surf.point
+
+    out = albedo * (info.ambient + mats.emission[m][..., None])
+
+    lights = scene.lights
+    n_lights = lights.position.shape[0]
+    if n_lights > 0:
+        lpos = lights.position[None, :, :]  # (1, L, 3)
+        if cfg.shadows and cfg.shadow_samples > 1 and key is not None:
+            # Soft shadows: jitter the light sample per ray within the
+            # source radius (reference: graphicsLevel-gated light jitter
+            # in processShadows). One stochastic sample per progressive
+            # frame; multiple samples average below.
+            jit = jax.random.normal(
+                key, (cfg.shadow_samples,) + p.shape[:-1] + (n_lights, 3),
+                p.dtype,
+            )
+            lpos = (
+                lpos[None]
+                + jit
+                * lights.radius[None, None, :, None]
+                * info.soft_shadow_radius
+            )  # (S, R, L, 3)
+        else:
+            lpos = jnp.broadcast_to(lpos, p.shape[:-1] + (n_lights, 3))[None]
+
+        def one_sample(lp):
+            to_l = lp - p[:, None, :]  # (R, L, 3)
+            dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-12))
+            ldir = to_l / dist[..., None]
+            ndotl = jnp.maximum(0.0, dot(n[:, None, :], ldir))  # (R, L)
+            refl = reflect(view_dir, n)  # (R, 3) view reflected
+            rdotl = jnp.maximum(0.0, dot(refl[:, None, :], ldir))
+            spec_str = mats.specular[m][..., 0:1]  # (R, 1)
+            spec_pow = jnp.maximum(mats.specular[m][..., 1:2], 1.0)
+            spec = spec_str * jnp.power(rdotl, spec_pow)  # (R, L)
+
+            if cfg.shadows:
+                origin = p + surf.normal * (RAY_EPS * 4.0)
+                trans = scene_transmittance(
+                    scene,
+                    jnp.broadcast_to(origin[:, None, :], ldir.shape),
+                    ldir,
+                    t_max=dist - RAY_EPS,
+                    use_bvh=cfg.use_bvh,
+                )  # (R, L)
+                shadow = 1.0 - info.shadow_intensity * (1.0 - trans)
+            else:
+                shadow = jnp.ones_like(ndotl)
+
+            lcol = lights.color[None, :, :]  # (1, L, 4)
+            contrib = (
+                albedo[:, None, :] * ndotl[..., None]
+                + spec[..., None]
+            ) * lcol * shadow[..., None]
+            return jnp.sum(contrib, axis=1)  # (R, 4)
+
+        direct = jax.vmap(one_sample)(lpos).mean(axis=0)
+        out = out + direct
+
+    out = jnp.where(surf.valid[..., None], out, 0.0)
+    return out.at[..., 3].set(1.0)

@@ -1,0 +1,189 @@
+"""Texture sampling and procedural textures.
+
+TPU-native re-creation of the reference's texture layer
+(solr/engines/cuda/TextureMapping.cuh: texel fetch from the flat byte
+atlas, sphereUVMapping / triangleUVMapping / cubeMapping, and the
+procedural generators mandelbrotSet / juliaSet; atlas layout from
+GPUKernel texture storage).
+
+The atlas is a single (NTEXELS, 4) uint8 array; per-texture (offset,
+width, height) descriptors address into it.  Sampling is a bilinear
+4-texel gather, vectorized over rays — the TPU analog of the reference's
+per-thread texel loads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from solr_tpu.types import ProceduralKind, Textures
+
+__all__ = [
+    "sample_texture",
+    "procedural_color",
+    "value_noise",
+]
+
+
+def sample_texture(tex: Textures, tex_id, uv):
+    """Bilinear RGBA sample; tex_id (R,) int32 (-1 -> white), uv (R,2).
+
+    UVs wrap (repeat addressing, matching the reference's modulo fetch).
+    Returns (R, 4) float in [0, 1].
+    """
+    if tex.count == 0:
+        return jnp.ones(uv.shape[:-1] + (4,), uv.dtype)
+    tid = jnp.clip(tex_id, 0, tex.count - 1)
+    w = tex.width[tid].astype(uv.dtype)
+    h = tex.height[tid].astype(uv.dtype)
+    off = tex.offset[tid]
+    wi = tex.width[tid]
+    hi = tex.height[tid]
+
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def texel(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(wi, 1))
+        yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(hi, 1))
+        idx = off + yi * wi + xi
+        return tex.atlas[idx].astype(uv.dtype) / 255.0  # (R, 4)
+
+    c00 = texel(x0, y0)
+    c10 = texel(x0 + 1, y0)
+    c01 = texel(x0, y0 + 1)
+    c11 = texel(x0 + 1, y0 + 1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    rgba = top * (1 - fy) + bot * fy
+    return jnp.where((tex_id >= 0)[..., None], rgba, 1.0)
+
+
+# --------------------------------------------------------------------------
+# Procedural textures
+# --------------------------------------------------------------------------
+
+_MANDEL_ITERS = 32
+
+
+def _escape_time(c_re, c_im, z_re, z_im, iters: int):
+    """Escape-time iteration count / iters in [0, 1] (smooth-ish)."""
+
+    def body(carry, _):
+        zr, zi, count, alive = carry
+        zr2 = zr * zr - zi * zi + c_re
+        zi2 = 2.0 * zr * zi + c_im
+        mag2 = zr2 * zr2 + zi2 * zi2
+        alive_next = alive & (mag2 < 4.0)
+        count = count + alive_next.astype(zr.dtype)
+        zr = jnp.where(alive_next, zr2, zr)
+        zi = jnp.where(alive_next, zi2, zi)
+        return (zr, zi, count, alive_next), None
+
+    init = (z_re, z_im, jnp.zeros_like(z_re), jnp.ones_like(z_re, bool))
+    (zr, zi, count, _), _ = jax.lax.scan(body, init, None, length=iters)
+    return count / iters
+
+
+def mandelbrot(uv, scale):
+    """(reference: TextureMapping.cuh mandelbrotSet)"""
+    re = (uv[..., 0] - 0.6) * 2.6 * scale
+    im = (uv[..., 1] - 0.5) * 2.4 * scale
+    return _escape_time(re, im, jnp.zeros_like(re), jnp.zeros_like(im),
+                        _MANDEL_ITERS)
+
+
+def julia(uv, scale):
+    """(reference: TextureMapping.cuh juliaSet)"""
+    re = (uv[..., 0] - 0.5) * 3.0 * scale
+    im = (uv[..., 1] - 0.5) * 3.0 * scale
+    c_re = jnp.full_like(re, -0.70176)
+    c_im = jnp.full_like(im, -0.3842)
+    return _escape_time(c_re, c_im, re, im, _MANDEL_ITERS)
+
+
+def _hash2(x, y):
+    """Cheap deterministic [0,1) hash of integer lattice points."""
+    h = jnp.sin(x * 127.1 + y * 311.7) * 43758.5453
+    return h - jnp.floor(h)
+
+
+def value_noise(p, scale):
+    """Smooth 2-D value noise in [0, 1] (the TPU analog of the
+    reference's noise-based procedural materials)."""
+    q = p * jnp.asarray(scale)[..., None]
+    xi = jnp.floor(q[..., 0])
+    yi = jnp.floor(q[..., 1])
+    fx = q[..., 0] - xi
+    fy = q[..., 1] - yi
+    # Smoothstep interpolation weights.
+    sx = fx * fx * (3.0 - 2.0 * fx)
+    sy = fy * fy * (3.0 - 2.0 * fy)
+    a = _hash2(xi, yi)
+    b = _hash2(xi + 1.0, yi)
+    c = _hash2(xi, yi + 1.0)
+    d = _hash2(xi + 1.0, yi + 1.0)
+    return (a * (1 - sx) + b * sx) * (1 - sy) + (c * (1 - sx) + d * sx) * sy
+
+
+def turbulence(p, scale, octaves: int = 4):
+    out = jnp.zeros(p.shape[:-1], p.dtype)
+    amp = 0.5
+    freq = 1.0
+    for _ in range(octaves):
+        out = out + amp * value_noise(p, scale * freq)
+        amp *= 0.5
+        freq *= 2.0
+    return out
+
+
+def procedural_color(kind, scale, uv, base_color):
+    """Procedural albedo by ProceduralKind code (vectorized select).
+
+    Args:
+      kind: (R,) int32 ProceduralKind; scale: (R,) frequency;
+      uv: (R, 2); base_color: (R, 4).
+    Returns (R, 4).
+    """
+    dt = uv.dtype
+    checker = (
+        (jnp.floor(uv[..., 0] * scale) + jnp.floor(uv[..., 1] * scale)) % 2.0
+    )
+    mand = mandelbrot(uv, scale)
+    jul = julia(uv, scale)
+    noise = value_noise(uv, scale)
+    marble = 0.5 + 0.5 * jnp.sin(
+        uv[..., 0] * scale * 6.28318 + 4.0 * turbulence(uv, scale)
+    )
+    granite = jnp.clip(turbulence(uv, scale * 4.0) * 1.4, 0.0, 1.0)
+
+    def tint(f):
+        return base_color * f[..., None]
+
+    palette = jnp.stack(
+        [
+            base_color,  # NONE
+            tint(mand),
+            tint(jul),
+            jnp.where(
+                (checker > 0.5)[..., None], base_color, 1.0 - base_color
+            ),
+            tint(noise),
+            tint(marble),
+            tint(granite),
+        ],
+        axis=0,
+    )  # (7, R, 4)
+    k = jnp.clip(kind, 0, palette.shape[0] - 1)
+    out = jnp.take_along_axis(
+        palette, k[None, ..., None].astype(jnp.int32), axis=0
+    )[0]
+    out = out.at[..., 3].set(base_color[..., 3])
+    return out.astype(dt)

@@ -1,0 +1,471 @@
+"""Core data model: scene pytrees and static render configuration.
+
+TPU-native redesign of the reference's shared host/device POD structs
+(solr/types.h and solr/engines/cuda/CudaDataTypes.h: Primitive,
+BoundingBox, Material, SceneInfo, PostProcessingInfo) and of the mutable
+engine state owned by solr/engines/GPUKernel.h.
+
+Design stance (differs from the reference deliberately):
+  * The reference packs every primitive kind into one AoS `Primitive`
+    struct with a `PrimitiveType` tag and branches per element
+    (GeometryIntersections.cuh: intersectionWithPrimitives).  Per-element
+    branching is poison on a TPU's 8x128 VPU, so primitives are
+    segregated into typed SoA pools (Spheres/Triangles/Cylinders/
+    Ellipsoids/Planes); each pool is intersected with one fully
+    vectorized kernel and the closest hit is selected across pools.
+  * All arrays are padded to static, lane-friendly sizes with *inert*
+    padding (radius < 0, degenerate triangles) that can never produce a
+    hit — XLA gets static shapes and kernels need no count scalars.
+  * Scene state is an immutable pytree; "dirty flags + upload"
+    (GPUKernel::render_begin) disappear — XLA donation/jit caching plays
+    that role.
+
+Static-vs-dynamic split: anything that changes compiled code shape
+(resolution, bounce cap, camera mode, feature toggles) lives in the
+hashable `RenderConfig`; anything continuously variable (positions,
+colors, fog, focus) is a pytree leaf and is differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pytree_dataclass",
+    "static_field",
+    "CameraMode",
+    "PostFxMode",
+    "ProceduralKind",
+    "PlaneAxis",
+    "Camera",
+    "SceneInfo",
+    "RenderConfig",
+    "PostFxConfig",
+    "Materials",
+    "Spheres",
+    "Triangles",
+    "Cylinders",
+    "Ellipsoids",
+    "Planes",
+    "Lights",
+    "Textures",
+    "BVH",
+    "Scene",
+]
+
+
+def static_field(**kwargs):
+    """Dataclass field treated as pytree *metadata* (hashed, not traced)."""
+    metadata = dict(kwargs.pop("metadata", {}))
+    metadata["static"] = True
+    return dataclasses.field(metadata=metadata, **kwargs)
+
+
+def pytree_dataclass(cls):
+    """Frozen dataclass registered as a JAX pytree node.
+
+    Fields declared with ``static_field()`` go into the treedef; all other
+    fields are traced leaves/subtrees.
+    """
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    data_fields = []
+    meta_fields = []
+    for f in dataclasses.fields(cls):
+        (meta_fields if f.metadata.get("static") else data_fields).append(f.name)
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+
+    def _replace(self, **updates):
+        return dataclasses.replace(self, **updates)
+
+    cls.replace = _replace
+    return cls
+
+
+# --------------------------------------------------------------------------
+# Enums (reference: solr/types.h enums — PrimitiveType, PostProcessingType,
+# and SceneInfo.renderingType values mono/anaglyph/sideBySide/fisheye).
+# --------------------------------------------------------------------------
+
+
+class CameraMode(enum.IntEnum):
+    """Render kernel variants (reference: k_standardRenderer,
+    k_anaglyphRenderer, k_3DVisionRenderer, k_fishEyeRenderer in
+    solr/engines/cuda/CudaRayTracer.cu)."""
+
+    MONO = 0
+    ANAGLYPH = 1
+    SIDE_BY_SIDE = 2
+    FISHEYE = 3
+    VOLUME = 4  # reserved
+
+
+class PostFxMode(enum.IntEnum):
+    """Post-processing pass (reference: PostProcessingType +
+    k_depthOfField / ambient-occlusion / enlightment kernels)."""
+
+    NONE = 0
+    DEPTH_OF_FIELD = 1
+    AMBIENT_OCCLUSION = 2
+    ENLIGHTMENT = 3
+    CARTOON = 4
+
+
+class ProceduralKind(enum.IntEnum):
+    """Procedural material textures (reference: mandelbrotSet / juliaSet in
+    solr/engines/cuda/TextureMapping.cuh; checkerboard from the
+    ptCheckboard plane type)."""
+
+    NONE = 0
+    MANDELBROT = 1
+    JULIA = 2
+    CHECKER = 3
+    NOISE = 4
+    MARBLE = 5
+    GRANITE = 6
+
+
+class PlaneAxis(enum.IntEnum):
+    """Axis-aligned plane orientation (reference primitive types
+    ptXYPlane / ptYZPlane / ptXZPlane): value = index of the normal axis."""
+
+    YZ = 0  # normal +-x
+    XZ = 1  # normal +-y
+    XY = 2  # normal +-z
+
+
+# --------------------------------------------------------------------------
+# Camera
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Camera:
+    """Pinhole/thin-lens camera (reference: GPUKernel::setCamera —
+    m_viewPos / m_viewDir / m_angles — plus DoF aperture from
+    PostProcessingInfo).
+
+    Camera space: -z? No — rays leave the eye toward +z in camera space;
+    ``angles`` (rx, ry, rz) rotate camera space into world space.  The
+    image plane sits at unit distance with half-height ``tan(fov/2)``.
+    All fields are differentiable scalars/vectors.
+    """
+
+    position: Any  # (3,) eye position
+    angles: Any  # (3,) Euler rotation (radians), applied X then Y then Z
+    fov: Any  # () vertical field of view in radians
+    aperture: Any  # () lens radius for depth of field (0 = pinhole)
+    focal_distance: Any  # () in-focus distance along the view axis
+    eye_separation: Any  # () stereo half-separation (anaglyph / 3D vision)
+
+    @staticmethod
+    def create(
+        position=(0.0, 0.0, -4.0),
+        angles=(0.0, 0.0, 0.0),
+        fov=0.7,
+        aperture=0.0,
+        focal_distance=4.0,
+        eye_separation=0.06,
+        dtype=jnp.float32,
+    ) -> "Camera":
+        return Camera(
+            position=jnp.asarray(position, dtype),
+            angles=jnp.asarray(angles, dtype),
+            fov=jnp.asarray(fov, dtype),
+            aperture=jnp.asarray(aperture, dtype),
+            focal_distance=jnp.asarray(focal_distance, dtype),
+            eye_separation=jnp.asarray(eye_separation, dtype),
+        )
+
+
+# --------------------------------------------------------------------------
+# Dynamic scene-wide parameters
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class SceneInfo:
+    """Continuously-variable scene parameters (reference: the dynamic
+    half of SceneInfo in solr/types.h — backgroundColor, shadowIntensity,
+    viewDistance, fog; the shape-changing half lives in RenderConfig)."""
+
+    background_color: Any  # (4,) rgba
+    ambient: Any  # () ambient light coefficient
+    shadow_intensity: Any  # () 0 = no shadow darkening, 1 = black shadows
+    view_distance: Any  # () far clip / fog end distance
+    fog_start: Any  # () distance where fog starts
+    soft_shadow_radius: Any  # () light-sample jitter radius scale
+    gradient_sky_zenith: Any  # (4,) gradient background zenith color
+    gradient_sky_horizon: Any  # (4,) gradient background horizon color
+
+    @staticmethod
+    def create(
+        background_color=(0.0, 0.0, 0.0, 1.0),
+        ambient=0.15,
+        shadow_intensity=0.8,
+        view_distance=1e4,
+        fog_start=1e4,
+        soft_shadow_radius=0.0,
+        gradient_sky_zenith=(0.3, 0.5, 0.8, 1.0),
+        gradient_sky_horizon=(0.9, 0.9, 1.0, 1.0),
+        dtype=jnp.float32,
+    ) -> "SceneInfo":
+        return SceneInfo(
+            background_color=jnp.asarray(background_color, dtype),
+            ambient=jnp.asarray(ambient, dtype),
+            shadow_intensity=jnp.asarray(shadow_intensity, dtype),
+            view_distance=jnp.asarray(view_distance, dtype),
+            fog_start=jnp.asarray(fog_start, dtype),
+            soft_shadow_radius=jnp.asarray(soft_shadow_radius, dtype),
+            gradient_sky_zenith=jnp.asarray(gradient_sky_zenith, dtype),
+            gradient_sky_horizon=jnp.asarray(gradient_sky_horizon, dtype),
+        )
+
+
+# --------------------------------------------------------------------------
+# Static render configuration (hashable; jit static arg)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PostFxConfig:
+    """Static post-processing selection (reference: PostProcessingInfo —
+    type + param1=focus/param2=strength/param3=iterations; the continuous
+    params are passed dynamically to the post-fx functions)."""
+
+    mode: PostFxMode = PostFxMode.NONE
+    samples: int = 16  # gather samples for DoF / AO
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Everything that changes the *shape* of the compiled program
+    (reference: compile-time Consts.h + the shape-affecting SceneInfo
+    fields — size, nbRayIterations, graphicsLevel, renderingType)."""
+
+    width: int = 256
+    height: int = 256
+    max_bounces: int = 2  # secondary-ray chain length (NB_MAX_ITERATIONS)
+    camera_mode: CameraMode = CameraMode.MONO
+    shadows: bool = True
+    shadow_samples: int = 1  # >1 = soft shadows (graphicsLevel >= 3)
+    gradient_background: bool = False
+    sky_texture: int = -1  # texture id for spherical skybox, -1 = none
+    fog: bool = False
+    antialias_jitter: bool = False  # sub-pixel jitter (progressive AA)
+    postfx: PostFxConfig = PostFxConfig()
+    use_bvh: bool = True
+    ray_block: int = 1024  # rays per Pallas block
+    backend: str = "auto"  # "auto" | "jnp" | "pallas"
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+
+# --------------------------------------------------------------------------
+# Materials (reference: Material struct in solr/types.h;
+# GPUKernel::setMaterial's ~15 parameters)
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Materials:
+    color: Any  # (M,4) rgba base color
+    specular: Any  # (M,2) [strength, power]
+    reflection: Any  # (M,) 0..1 mirror weight
+    ior: Any  # (M,) index of refraction
+    transparency: Any  # (M,) 0..1 refraction weight
+    emission: Any  # (M,) emissive strength (innerIllumination.x);
+    #                >0 marks the primitive as a light source
+    texture_diffuse: Any  # (M,) int32 texture id or -1
+    texture_normal: Any  # (M,) int32 texture id or -1
+    texture_bump: Any  # (M,) int32 texture id or -1
+    procedural: Any  # (M,) int32 ProceduralKind
+    procedural_scale: Any  # (M,) procedural texture frequency
+
+    @property
+    def count(self) -> int:
+        return self.color.shape[0]
+
+
+# --------------------------------------------------------------------------
+# Primitive pools.  Padding convention: pad entries must be inert
+# (sphere radius < 0; triangle with all-zero vertices; cylinder radius < 0;
+# ellipsoid radii < 0; plane half_extents < 0).
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Spheres:
+    """(reference: ptSphere; sphereIntersection in
+    GeometryIntersections.cuh)"""
+
+    center: Any  # (N,3)
+    radius: Any  # (N,)
+    material: Any  # (N,) int32
+
+
+@pytree_dataclass
+class Triangles:
+    """(reference: ptTriangle; triangleIntersection in
+    GeometryIntersections.cuh; per-vertex normals/UVs managed by
+    GPUKernel::setPrimitiveNormals / setPrimitiveTextureCoordinates)"""
+
+    v0: Any  # (N,3)
+    v1: Any  # (N,3)
+    v2: Any  # (N,3)
+    n0: Any  # (N,3) vertex normals (unnormalized ok)
+    n1: Any  # (N,3)
+    n2: Any  # (N,3)
+    uv0: Any  # (N,2)
+    uv1: Any  # (N,2)
+    uv2: Any  # (N,2)
+    material: Any  # (N,) int32
+
+
+@pytree_dataclass
+class Cylinders:
+    """Finite capped cylinder from p0 to p1 (reference: ptCylinder;
+    cylinderIntersection in GeometryIntersections.cuh)."""
+
+    p0: Any  # (N,3)
+    p1: Any  # (N,3)
+    radius: Any  # (N,)
+    material: Any  # (N,) int32
+
+
+@pytree_dataclass
+class Ellipsoids:
+    """(reference: ptEllipsoid; ellipsoidIntersection)"""
+
+    center: Any  # (N,3)
+    radii: Any  # (N,3) semi-axes
+    material: Any  # (N,) int32
+
+
+@pytree_dataclass
+class Planes:
+    """Axis-aligned bounded rectangles (reference: ptXYPlane / ptYZPlane /
+    ptXZPlane / ptCheckboard / ptMagicCarpet; planeIntersection).
+    Checkerboard is expressed via the material's procedural kind."""
+
+    axis: Any  # (N,) int32 PlaneAxis (index of normal axis)
+    origin: Any  # (N,3) rectangle center
+    half_extents: Any  # (N,2) half sizes along the two in-plane axes
+    #                    (axes in ascending order, normal axis removed)
+    material: Any  # (N,) int32
+
+
+@pytree_dataclass
+class Lights:
+    """Light list derived from emissive primitives (reference: GPUKernel
+    collects primitives whose material has innerIllumination > 0 into
+    m_lamps, capped at NB_MAX_LAMPS)."""
+
+    position: Any  # (L,3)
+    color: Any  # (L,4) rgb * intensity
+    radius: Any  # (L,) source radius for soft-shadow jitter
+    # Inert padding: color == 0.
+
+
+@pytree_dataclass
+class Textures:
+    """Flat texture atlas (reference: GPUKernel texture storage — raw bytes
+    concatenated with per-texture (offset, w, h, depth); loaded by
+    solr/images/ImageLoader.cpp)."""
+
+    atlas: Any  # (NTEXELS, 4) uint8 RGBA8 texel stream
+    offset: Any  # (T,) int32 texel offset of texture t
+    width: Any  # (T,) int32
+    height: Any  # (T,) int32
+
+    @property
+    def count(self) -> int:
+        return self.offset.shape[0]
+
+
+@pytree_dataclass
+class BVH:
+    """Flattened BVH with stackless skip-pointer ("rope") layout — a deep
+    generalization of the reference's two-level skip-indexed box list
+    (BoundingBox.indexForNextBox; traversal loop in
+    GeometryIntersections.cuh: intersectionWithPrimitives).
+
+    Nodes are stored in DFS preorder.  For node i:
+      * hit  -> continue to i+1 (first child / leaf payload)
+      * miss -> jump to skip[i] (next subtree root; == n_nodes when done)
+    Leaves reference a contiguous range of the *reordered* primitive pool.
+    Structure arrays are int32 and non-differentiable; AABBs are f32 and
+    refittable.
+    """
+
+    aabb_min: Any  # (K,3) f32
+    aabb_max: Any  # (K,3) f32
+    skip: Any  # (K,) int32 preorder skip pointer
+    first_prim: Any  # (K,) int32, -1 for inner nodes
+    prim_count: Any  # (K,) int32, 0 for inner nodes
+    depth: Any  # (K,) int32 node depth (for level-wise refit)
+    max_depth: int = static_field(default=0)
+    leaf_size: int = static_field(default=8)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.skip.shape[0]
+
+
+@pytree_dataclass
+class Scene:
+    """The complete immutable scene (reference: the aggregate host-side
+    state of solr/engines/GPUKernel.h — primitive/material/texture/light
+    arrays + bounding boxes + SceneInfo)."""
+
+    spheres: Spheres
+    triangles: Triangles
+    cylinders: Cylinders
+    ellipsoids: Ellipsoids
+    planes: Planes
+    materials: Materials
+    lights: Lights
+    textures: Textures
+    info: SceneInfo
+    tri_bvh: Optional[BVH] = None
+    sph_bvh: Optional[BVH] = None
+    cyl_bvh: Optional[BVH] = None
+
+    # ---- differentiable parameter view (north-star gradient targets) ----
+
+    @property
+    def params(self):
+        """Pytree of the parameters inverse rendering optimizes: geometry
+        positions/sizes, material colors/IoR, light positions."""
+        return {
+            "sphere_center": self.spheres.center,
+            "sphere_radius": self.spheres.radius,
+            "vertices": (self.triangles.v0, self.triangles.v1, self.triangles.v2),
+            "albedo": self.materials.color,
+            "ior": self.materials.ior,
+            "light_position": self.lights.position,
+        }
+
+    def with_params(self, params) -> "Scene":
+        """Functional update from a ``params`` pytree (same structure as
+        :attr:`params`)."""
+        v0, v1, v2 = params["vertices"]
+        return self.replace(
+            spheres=self.spheres.replace(
+                center=params["sphere_center"], radius=params["sphere_radius"]
+            ),
+            triangles=self.triangles.replace(v0=v0, v1=v1, v2=v2),
+            materials=self.materials.replace(
+                color=params["albedo"], ior=params["ior"]
+            ),
+            lights=self.lights.replace(position=params["light_position"]),
+        )

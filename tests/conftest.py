@@ -1,0 +1,38 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Multi-chip code paths (Mesh/shard_map/collectives) run on
+XLA-force-host-platform devices, the standard JAX trick for testing
+distributed code without a TPU slice (SURVEY.md section 4 item 5).
+A persistent compilation cache keeps repeat runs fast.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The environment's sitecustomize force-registers the TPU backend and
+# overrides JAX_PLATFORMS; config.update is the reliable CPU pin.
+jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/solr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
