@@ -104,7 +104,9 @@ def _chunked_min(t_fn, n: int, r_shape, dtype):
         jnp.full(r_shape, T_FAR, dtype),
         jnp.zeros(r_shape, jnp.int32),
     )
-    (best_t, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    (best_t, best_i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
     return best_t, best_i
 
 

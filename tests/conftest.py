@@ -20,6 +20,11 @@ import jax
 # The environment's sitecustomize force-registers the TPU backend and
 # overrides JAX_PLATFORMS; config.update is the reliable CPU pin.
 jax.config.update("jax_platforms", "cpu")
+# x64 enabled so gradient-vs-finite-difference checks can run in f64
+# (the 1e-3 BASELINE tolerance is unreachable in f32 FD).  Renderer code
+# derives dtypes from scene arrays, so f32 scenes still exercise the f32
+# path.
+jax.config.update("jax_enable_x64", True)
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/solr_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -18,10 +18,11 @@ def cornell_box(
     transparent: bool = True,
     checker: bool = False,
     seed: int = 7,
+    dtype=np.float32,
 ):
     """Cornell box: 5 walls (planes), spheres, 1 emissive light sphere."""
     rng = np.random.default_rng(seed)
-    b = st.SceneBuilder()
+    b = st.SceneBuilder(dtype=dtype)
     white = b.add_material(color=(0.75, 0.75, 0.75, 1.0))
     red = b.add_material(color=(0.75, 0.15, 0.15, 1.0))
     green = b.add_material(color=(0.15, 0.75, 0.15, 1.0))

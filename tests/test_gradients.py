@@ -1,0 +1,168 @@
+"""Gradient correctness vs central finite differences (SURVEY.md section
+4 item 4; BASELINE north-star: grads match finite differences to 1e-3).
+
+Runs in f64 (conftest enables x64) on small renders.  The FD comparison
+uses a fixed-topology loss: geometric perturbations are small enough that
+no hit id flips, which is exactly the north-star's regime ("param grads
+at fixed topology").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import solr_tpu as st
+from solr_tpu.ops.render import render_sample
+
+from scenes_fixtures import cornell_box, cornell_camera
+
+
+def _f64_scene():
+    b = cornell_box(n_spheres=3, reflective=True, transparent=True,
+                    seed=11, dtype=np.float64)
+    return b.build()
+
+
+CFG = st.RenderConfig(width=24, height=24, max_bounces=2)
+
+
+def _loss_fn(scene, cam, target):
+    def loss(params):
+        img, _ = render_sample(scene.with_params(params), cam, CFG)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    return loss
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = _f64_scene()
+    cam = st.Camera.create(position=(0.0, 0.0, -1.6), fov=1.1,
+                           dtype=jnp.float64)
+    img, _ = render_sample(scene, cam, CFG)
+    target = img[..., :3] * 0.8  # non-trivial residual
+    loss = jax.jit(_loss_fn(scene, cam, target))
+    grad = jax.jit(jax.grad(_loss_fn(scene, cam, target)))
+    return scene, loss, grad
+
+
+def _fd_check(loss, params, grads, path, indices, eps=1e-5, tol=1e-3):
+    """Central finite difference on selected scalar entries."""
+    leaf = params[path] if not isinstance(path, tuple) else (
+        params[path[0]][path[1]]
+    )
+    g_leaf = grads[path] if not isinstance(path, tuple) else (
+        grads[path[0]][path[1]]
+    )
+    worst = 0.0
+    for idx in indices:
+        def perturbed(sign):
+            arr = np.asarray(leaf).copy()
+            arr[idx] += sign * eps
+            new = dict(params)
+            if isinstance(path, tuple):
+                seq = list(params[path[0]])
+                seq[path[1]] = jnp.asarray(arr)
+                new[path[0]] = tuple(seq)
+            else:
+                new[path] = jnp.asarray(arr)
+            return float(loss(new))
+
+        fd = (perturbed(+1) - perturbed(-1)) / (2 * eps)
+        an = float(np.asarray(g_leaf)[idx])
+        denom = max(abs(fd), abs(an), 1e-4)
+        rel = abs(fd - an) / denom
+        worst = max(worst, rel)
+        assert rel < tol, (
+            f"{path}[{idx}]: analytic {an:.6e} vs FD {fd:.6e} "
+            f"(rel {rel:.2e})"
+        )
+    return worst
+
+
+class TestGradientsVsFiniteDiff:
+    def test_sphere_center(self, setup):
+        scene, loss, grad = setup
+        params = scene.params
+        g = grad(params)
+        _fd_check(loss, params, g, "sphere_center",
+                  [(0, 0), (0, 1), (0, 2), (1, 0), (1, 2)])
+
+    def test_sphere_radius(self, setup):
+        scene, loss, grad = setup
+        params = scene.params
+        g = grad(params)
+        _fd_check(loss, params, g, "sphere_radius", [(0,), (1,), (2,)])
+
+    def test_albedo(self, setup):
+        scene, loss, grad = setup
+        params = scene.params
+        g = grad(params)
+        _fd_check(loss, params, g, "albedo",
+                  [(1, 0), (1, 1), (2, 2), (4, 0)])
+
+    def test_ior(self, setup):
+        scene, loss, grad = setup
+        params = scene.params
+        g = grad(params)
+        # Glass material ids: find one with transparency > 0.
+        trans = np.asarray(scene.materials.transparency)
+        glass = int(np.argmax(trans))
+        assert trans[glass] > 0
+        _fd_check(loss, params, g, "ior", [(glass,)])
+
+    def test_light_position(self, setup):
+        scene, loss, grad = setup
+        params = scene.params
+        g = grad(params)
+        _fd_check(loss, params, g, "light_position",
+                  [(0, 0), (0, 1), (0, 2)])
+
+    def test_no_nans_anywhere(self, setup):
+        scene, _, grad = setup
+        g = grad(scene.params)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestInverseRendering:
+    """BASELINE config #4: recover sphere params by gradient descent."""
+
+    def test_recover_albedo_and_position(self):
+        scene = _f64_scene()
+        cam = st.Camera.create(position=(0.0, 0.0, -1.6), fov=1.1,
+                               dtype=jnp.float64)
+        cfg = st.RenderConfig(width=32, height=32, max_bounces=2)
+        target, _ = render_sample(scene, cam, cfg)
+        target = target[..., :3]
+
+        # Albedo-only perturbation: shading gradients exist everywhere,
+        # so full recovery is expected.  (Silhouette-driven position
+        # recovery is out of scope: hit topology is detached, per
+        # SURVEY.md section 7 M2 — position grads are shading-only.)
+        true_params = scene.params
+        start = dict(true_params)
+        start["albedo"] = true_params["albedo"].at[1:, :3].add(0.15)
+
+        def loss(p):
+            img, _ = render_sample(scene.with_params(p), cam, cfg)
+            return jnp.mean((img[..., :3] - target) ** 2)
+
+        import optax
+
+        opt = optax.adam(2e-2)
+        mask = {k: k == "albedo" for k in start}
+        vg = jax.jit(jax.value_and_grad(loss))
+        p = start
+        state = opt.init(p)
+        l0 = float(vg(p)[0])
+        for _ in range(150):
+            _, g = vg(p)
+            g = {k: (v if mask[k] else jax.tree.map(jnp.zeros_like, v))
+                 for k, v in g.items()}
+            updates, state = opt.update(g, state)
+            p = optax.apply_updates(p, updates)
+        l1 = float(vg(p)[0])
+        assert np.isfinite(l1)
+        assert l1 < l0 * 0.15, f"loss {l0:.3e} -> {l1:.3e}"
