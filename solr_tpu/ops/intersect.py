@@ -35,6 +35,7 @@ __all__ = [
     "triangle_t_p",
     "cylinder_t_p",
     "ellipsoid_t_p",
+    "plane_t_p",
     "sphere_t",
     "triangle_t",
     "cylinder_t",
@@ -129,6 +130,24 @@ def ellipsoid_t_p(o, d, center, radii, t_min):
     return _pick_root((-b - sq) / safe_a, (-b + sq) / safe_a, valid, t_min)
 
 
+def plane_t_p(o, d, axis, origin, half_extents, t_min):
+    """Axis-aligned bounded rectangle, matched ray/plane pairs: o, d
+    (..., 3); axis (...,) int32; origin (..., 3); half_extents (..., 2)."""
+    ar = jnp.arange(3)
+    nmask = ar == axis[..., None]  # (..., 3)
+    d_n = jnp.sum(jnp.where(nmask, d, 0.0), axis=-1)
+    o_n = jnp.sum(jnp.where(nmask, o, 0.0), axis=-1)
+    c_n = jnp.sum(jnp.where(nmask, origin, 0.0), axis=-1)
+    safe = jnp.abs(d_n) > INTERSECT_EPS
+    t = jnp.where(safe, c_n - o_n, 0.0) / jnp.where(safe, d_n, 1.0)
+    p = o + t[..., None] * d
+    dev = jnp.where(nmask, 0.0, jnp.abs(p - origin))
+    he3 = _expand_half_extents(axis, half_extents)
+    inside = jnp.all(dev <= he3, axis=-1)
+    valid = safe & inside & jnp.all(half_extents > 0.0, axis=-1)
+    return jnp.where(valid & (t > t_min), t, T_FAR)
+
+
 # --------------------------------------------------------------------------
 # Matrix kernels: rays (R, 3) x pool (N, ...) -> (R, N)
 # --------------------------------------------------------------------------
@@ -183,12 +202,13 @@ def plane_t(o, d, axis, origin, half_extents, t_min):
 
 
 def _expand_half_extents(axis, half_extents):
-    """(N,) axis + (N, 2) extents -> (N, 3) per-axis bound; the normal
-    axis slot is huge (deviation there is ~0 at the hit point)."""
+    """(..., ) axis + (..., 2) extents -> (..., 3) per-axis bound; the
+    normal axis slot is huge (deviation there is ~0 at the hit point)."""
     ar = jnp.arange(3)
-    nmask = ar[None, :] == axis[:, None]
-    below = (ar[None, :] > axis[:, None]).astype(jnp.int32)
-    slot = jnp.where(ar[None, :] < axis[:, None], 0, below)
+    axis_b = axis[..., None]  # (..., 1)
+    nmask = ar == axis_b
+    below = (ar > axis_b).astype(jnp.int32)
+    slot = jnp.where(ar < axis_b, 0, below)
     he = jnp.take_along_axis(half_extents, jnp.clip(slot, 0, 1), axis=-1)
     return jnp.where(nmask, T_FAR, he)
 

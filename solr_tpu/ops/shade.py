@@ -95,9 +95,12 @@ def phong_shade(
             to_l = lp - p[:, None, :]  # (R, L, 3)
             dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-12))
             ldir = to_l / dist[..., None]
-            ndotl = jnp.maximum(0.0, dot(n[:, None, :], ldir))  # (R, L)
+            # clip to [0, 1]: unit vectors cannot exceed 1; garbage on
+            # masked miss lanes must not reach pow() (inf forward value
+            # -> NaN backward even under masking).
+            ndotl = jnp.clip(dot(n[:, None, :], ldir), 0.0, 1.0)  # (R, L)
             refl = reflect(view_dir, n)  # (R, 3) view reflected
-            rdotl = jnp.maximum(0.0, dot(refl[:, None, :], ldir))
+            rdotl = jnp.clip(dot(refl[:, None, :], ldir), 0.0, 1.0)
             spec_str = mats.specular[m][..., 0:1]  # (R, 1)
             spec_pow = jnp.maximum(mats.specular[m][..., 1:2], 1.0)
             spec = spec_str * jnp.power(rdotl, spec_pow)  # (R, L)

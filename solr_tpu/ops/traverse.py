@@ -191,14 +191,81 @@ def scene_closest_hit(
     use_bvh: bool = True,
 ) -> Hit:
     """Closest hit across every pool (reference:
-    intersectionWithPrimitives).  Pools with a BVH attached use the
-    stackless skip-pointer walk; others use the chunked brute-force sweep.
+    intersectionWithPrimitives), differentiable.
+
+    Two-phase design (SURVEY.md section 7 "differentiating through
+    traversal"): the traversal itself — BVH while_loop or brute-force
+    argmin scan — runs DETACHED (discrete hit selection has no useful
+    gradient and while_loop has no reverse rule); the returned ``t`` is
+    then RECOMPUTED analytically for the selected primitive only, a
+    matched gather + one intersection test, which carries exact gradients
+    to ray and geometry at fixed topology and makes the backward pass
+    O(rays) instead of O(rays x primitives).
     """
+    sg = jax.lax.stop_gradient
+    raw = _scene_closest_hit_raw(
+        sg(scene), sg(o), sg(d), t_min, t_max, use_bvh
+    )
+    t = _recompute_t(scene, o, d, raw.pool, raw.idx, t_min)
+    # Keep the traversal t on miss (sentinel) and on rare recompute
+    # disagreements (f32 tangency): values match whenever both hit.
+    t = jnp.where(raw.valid & (t < T_FAR * 0.5), t, raw.t)
+    return Hit(t=t, pool=raw.pool, idx=raw.idx)
+
+
+def _recompute_t(scene: Scene, o, d, pool, idx, t_min):
+    """Differentiable hit distance for the already-selected primitive."""
+    sizes = _pool_sizes(scene)
+    t = jnp.full(o.shape[:-1], T_FAR, o.dtype)
+
+    def sel(code, t_code):
+        return jnp.where(pool == code, t_code, t)
+
+    if sizes[POOL_SPHERE]:
+        p = scene.spheres
+        i = jnp.clip(idx, 0, sizes[POOL_SPHERE] - 1)
+        t = sel(POOL_SPHERE, isect.sphere_t_p(
+            o, d, p.center[i], p.radius[i], t_min))
+    if sizes[POOL_TRIANGLE]:
+        p = scene.triangles
+        i = jnp.clip(idx, 0, sizes[POOL_TRIANGLE] - 1)
+        t = sel(POOL_TRIANGLE, isect.triangle_t_p(
+            o, d, p.v0[i], p.v1[i], p.v2[i], t_min))
+    if sizes[POOL_CYLINDER]:
+        p = scene.cylinders
+        i = jnp.clip(idx, 0, sizes[POOL_CYLINDER] - 1)
+        t = sel(POOL_CYLINDER, isect.cylinder_t_p(
+            o, d, p.p0[i], p.p1[i], p.radius[i], t_min))
+    if sizes[POOL_ELLIPSOID]:
+        p = scene.ellipsoids
+        i = jnp.clip(idx, 0, sizes[POOL_ELLIPSOID] - 1)
+        t = sel(POOL_ELLIPSOID, isect.ellipsoid_t_p(
+            o, d, p.center[i], p.radii[i], t_min))
+    if sizes[POOL_PLANE]:
+        p = scene.planes
+        i = jnp.clip(idx, 0, sizes[POOL_PLANE] - 1)
+        t = sel(POOL_PLANE, isect.plane_t_p(
+            o, d, p.axis[i], p.origin[i], p.half_extents[i], t_min))
+    return t
+
+
+def _scene_closest_hit_raw(
+    scene: Scene,
+    o,
+    d,
+    t_min=RAY_EPS,
+    t_max=T_FAR,
+    use_bvh: bool = True,
+) -> Hit:
+    """Detached traversal: BVH skip-pointer walk where attached, chunked
+    brute-force sweep otherwise."""
     from solr_tpu.ops import bvh as bvh_mod  # local import to avoid cycle
 
     r_shape = o.shape[:-1]
     best_t = jnp.full(r_shape, T_FAR, o.dtype)
-    best_pool = jnp.zeros(r_shape, jnp.int32)
+    # pool = -1 on miss: no surface_at branch matches, so miss lanes get
+    # the benign default normal instead of a fabricated pool surface.
+    best_pool = jnp.full(r_shape, -1, jnp.int32)
     best_idx = jnp.zeros(r_shape, jnp.int32)
 
     pool_bvh = {
@@ -264,8 +331,16 @@ def scene_transmittance(
             continue
         bvh = pool_bvh.get(code) if use_bvh else None
         if bvh is not None:
-            trans = trans * bvh_mod.bvh_transmittance(
-                scene, bvh, code, o, d, t_min, t_max
+            # Detached: shadow topology is discrete and the while_loop
+            # walk has no reverse rule.  Within fixed topology the only
+            # continuous dependence is occluder material transparency;
+            # that gradient survives through the brute-force path used
+            # by small pools and is deliberately dropped for
+            # BVH-accelerated pools (not in the north-star param set).
+            trans = trans * jax.lax.stop_gradient(
+                bvh_mod.bvh_transmittance(
+                    scene, bvh, code, o, d, t_min, t_max
+                )
             )
             continue
 
@@ -372,7 +447,11 @@ def surface_at(scene: Scene, hit: Hit, o, d) -> SurfaceInfo:
         i = jnp.clip(hit.idx, 0, sizes[POOL_SPHERE] - 1)
         c = p.center[i]
         r = jnp.maximum(p.radius[i], 1e-6)
-        n = (point - c) / r[..., None]
+        # normalize: on-sphere points make (P-C)/r unit already, but on
+        # miss lanes hit.pool defaults to this pool and the fabricated
+        # "normal" can be huge — pow(large, 50) = inf downstream breaks
+        # the backward pass even though the lane is masked (0 * inf).
+        n = normalize((point - c) / r[..., None])
         mask = hit.pool == POOL_SPHERE
         normal, shading, uv, material = blend(
             mask, n, n, spherical_uv(n), p.material[i],
@@ -445,13 +524,11 @@ def surface_at(scene: Scene, hit: Hit, o, d) -> SurfaceInfo:
         ar = jnp.arange(3)
         in_plane_mask = ar[None, :] != ax[..., None]  # (R,3)
         # Project the two in-plane coords, ascending axis order.
-        rel_masked = jnp.where(in_plane_mask, rel, jnp.nan)
         coords = jnp.sort(
             jnp.where(in_plane_mask, ar[None, :], 3), axis=-1
         )[..., :2]  # (R,2) in-plane axis indices
         pu = jnp.take_along_axis(rel, coords, axis=-1)  # (R,2)
         uvp = 0.5 + 0.5 * pu / jnp.maximum(he, 1e-6)
-        del rel_masked
         mask = hit.pool == POOL_PLANE
         normal, shading, uv, material = blend(
             mask, n, n, uvp, p.material[i], normal, shading, uv, material

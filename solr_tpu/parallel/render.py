@@ -1,0 +1,115 @@
+"""Tile-sharded forward rendering over a device mesh.
+
+TPU-native replacement for the reference's single-device SIMT pixel grid
+(CudaKernel::render_begin launches one thread per pixel on ONE GPU):
+pixels are sharded along the row-major ray axis over every chip of a
+`jax.sharding.Mesh`; the scene pytree is replicated (ICI-broadcast once
+per scene change, the analog of the reference's h2d upload of dirty
+arrays); the forward pass needs NO cross-device communication because
+rays are independent — the gathered image is the only collective, done
+implicitly by the output sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from solr_tpu.ops.camera import pixel_grid, rays_from_pixels, eye_rays
+from solr_tpu.ops.render import trace_rays
+from solr_tpu.parallel.mesh import TILE_AXIS, make_mesh
+from solr_tpu.types import Camera, CameraMode, RenderConfig, Scene
+
+__all__ = ["shard_render"]
+
+
+def _tile_trace(scene, camera, pix, key, cfg, dtype):
+    """Per-device body: generate this tile's rays, trace them."""
+    if key is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
+    o, d = rays_from_pixels(camera, cfg, pix, key, dtype)
+    color, t = trace_rays(scene, o, d, cfg, key)
+    return color, t
+
+
+def shard_render(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh=None,
+    key: Optional[jax.Array] = None,
+):
+    """Render (H, W, 4) with pixel rows sharded over the mesh.
+
+    Requires ``cfg.n_pixels`` divisible by the mesh size (the builder's
+    lane-aligned resolutions always are).  Returns (image, depth); the
+    result carries the tile sharding — callers that need a host array
+    just np.asarray it (one implicit all-gather, the analog of the
+    reference's d2h bitmap copy in render_end).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    dtype = scene.info.background_color.dtype
+    if cfg.n_pixels % n_dev:
+        raise ValueError(
+            f"{cfg.width}x{cfg.height} pixels not divisible by "
+            f"{n_dev} devices"
+        )
+
+    pix = pixel_grid(cfg, dtype)
+
+    key_spec = P() if key is not None else None
+    fn = shard_map(
+        partial(_tile_trace, cfg=cfg, dtype=dtype),
+        mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS), key_spec),
+        out_specs=P(TILE_AXIS),
+        check_vma=False,
+    )
+
+    if cfg.camera_mode == CameraMode.ANAGLYPH:
+        kl, kr = (None, None) if key is None else tuple(jax.random.split(key))
+        # eye_rays already spans the full frame; shard its pixel inputs
+        # by re-deriving per-eye rays inside the tile body instead.
+        cl, tl = _anaglyph_eye(scene, camera, cfg, mesh, -1.0, kl, dtype)
+        cr, _ = _anaglyph_eye(scene, camera, cfg, mesh, +1.0, kr, dtype)
+        color = jnp.stack(
+            [cl[..., 0], cr[..., 1], cr[..., 2], jnp.ones_like(cl[..., 0])],
+            axis=-1,
+        )
+        t = tl
+    else:
+        color, t = fn(scene, camera, pix, key)
+    img = color.reshape(cfg.height, cfg.width, 4)
+    depth = t.reshape(cfg.height, cfg.width)
+    return img, depth
+
+
+def _anaglyph_eye(scene, camera, cfg, mesh, eye, key, dtype):
+    def body(scene, camera, pix, key):
+        if key is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
+        from solr_tpu.ops.camera import _make_rays, _ndc
+        n = pix.shape[0]
+        jitter = jnp.zeros((n, 2), dtype)
+        u, v = _ndc(pix, cfg, jitter)
+        shift = jnp.full((n, 1), eye, dtype) * camera.eye_separation
+        o, d = _make_rays(camera, u, v, shift, key, dtype)
+        return trace_rays(scene, o, d, cfg, key)
+
+    pix = pixel_grid(cfg, dtype)
+    key_spec = P() if key is not None else None
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS), key_spec),
+        out_specs=P(TILE_AXIS),
+        check_vma=False,
+    )
+    return fn(scene, camera, pix, key)

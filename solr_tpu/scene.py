@@ -63,7 +63,8 @@ class SceneBuilder:
         self._mat = []  # list of dicts
         # pools
         self._spheres = []
-        self._triangles = []
+        self._triangles = []  # list of bulk blocks (see add_triangles_raw)
+        self._n_triangles = 0
         self._cylinders = []
         self._ellipsoids = []
         self._planes = []
@@ -128,22 +129,61 @@ class SceneBuilder:
         normals: Optional[Tuple] = None,
         uvs: Optional[Tuple] = None,
     ) -> int:
-        v = [np.asarray(x, self.dtype) for x in (v0, v1, v2)]
-        if normals is None:
-            gn = np.cross(v[1] - v[0], v[2] - v[0])
-            nn = gn / max(np.linalg.norm(gn), 1e-12)
-            normals = (nn, nn, nn)
-        if uvs is None:
-            uvs = ((0.0, 0.0), (1.0, 0.0), (0.0, 1.0))
-        self._triangles.append(
-            (
-                *v,
-                *(np.asarray(n, self.dtype) for n in normals),
-                *(np.asarray(u, self.dtype) for u in uvs),
-                int(material),
-            )
+        v = [np.asarray(x, self.dtype)[None] for x in (v0, v1, v2)]
+        n = None
+        if normals is not None:
+            n = np.stack(
+                [np.asarray(x, self.dtype) for x in normals]
+            )[None]  # (1, 3, 3)
+        u = None
+        if uvs is not None:
+            u = np.stack(
+                [np.asarray(x, self.dtype) for x in uvs]
+            )[None]  # (1, 3, 2)
+        return self.add_triangles_raw(
+            v[0], v[1], v[2], material=material, normals=n, uvs=u
         )
-        return len(self._triangles) - 1
+
+    def add_triangles_raw(
+        self,
+        v0: np.ndarray,
+        v1: np.ndarray,
+        v2: np.ndarray,
+        material=0,
+        normals: Optional[np.ndarray] = None,  # (K, 3, 3) per-vertex
+        uvs: Optional[np.ndarray] = None,  # (K, 3, 2) per-vertex
+    ) -> int:
+        """Bulk triangle-soup append: (K, 3) vertex arrays, scalar or
+        (K,) material ids.  The fast path for meshes and benchmarks —
+        blocks are stored as arrays and concatenated once at build()."""
+        v0 = np.atleast_2d(np.asarray(v0, self.dtype))
+        v1 = np.atleast_2d(np.asarray(v1, self.dtype))
+        v2 = np.atleast_2d(np.asarray(v2, self.dtype))
+        k = v0.shape[0]
+        if normals is None:
+            gn = np.cross(v1 - v0, v2 - v0)
+            gn = gn / np.maximum(
+                np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12
+            )
+            n0 = n1 = n2 = gn.astype(self.dtype)
+        else:
+            normals = np.asarray(normals, self.dtype)
+            n0, n1, n2 = normals[:, 0], normals[:, 1], normals[:, 2]
+        if uvs is None:
+            z = np.zeros((k, 2), self.dtype)
+            u0, u1, u2 = z, z, z
+        else:
+            uvs = np.asarray(uvs, self.dtype)
+            u0, u1, u2 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
+        mat = np.broadcast_to(
+            np.asarray(material, np.int32), (k,)
+        ).astype(np.int32)
+        first = self._n_triangles
+        self._triangles.append(
+            (v0, v1, v2, n0, n1, n2, u0, u1, u2, mat)
+        )
+        self._n_triangles += k
+        return first
 
     def add_mesh(
         self,
@@ -153,33 +193,24 @@ class SceneBuilder:
         normals: Optional[np.ndarray] = None,
         uvs: Optional[np.ndarray] = None,
     ) -> int:
-        """Bulk triangle-soup import (reference: OBJReader's pass-2 face
+        """Indexed-mesh import (reference: OBJReader's pass-2 face
         emission into addPrimitive(ptTriangle))."""
         vertices = np.asarray(vertices, self.dtype)
         faces = np.asarray(faces, np.int64)
         v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
-        if normals is None:
-            gn = np.cross(v1 - v0, v2 - v0)
-            gn = gn / np.maximum(
-                np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12
-            )
-            n0 = n1 = n2 = gn
-        else:
+        n = None
+        if normals is not None:
             normals = np.asarray(normals, self.dtype)
-            n0, n1, n2 = (normals[faces[:, i]] for i in range(3))
-        if uvs is None:
-            z = np.zeros((faces.shape[0], 2), self.dtype)
-            u0, u1, u2 = z, z, z
-        else:
-            uvs = np.asarray(uvs, self.dtype)
-            u0, u1, u2 = (uvs[faces[:, i]] for i in range(3))
-        first = len(self._triangles)
-        for i in range(faces.shape[0]):
-            self._triangles.append(
-                (v0[i], v1[i], v2[i], n0[i], n1[i], n2[i],
-                 u0[i], u1[i], u2[i], int(material))
+            n = np.stack(
+                [normals[faces[:, i]] for i in range(3)], axis=1
             )
-        return first
+        u = None
+        if uvs is not None:
+            uvs = np.asarray(uvs, self.dtype)
+            u = np.stack([uvs[faces[:, i]] for i in range(3)], axis=1)
+        return self.add_triangles_raw(
+            v0, v1, v2, material=material, normals=n, uvs=u
+        )
 
     def add_cylinder(self, p0, p1, radius: float, material: int = 0) -> int:
         self._cylinders.append(
@@ -290,9 +321,17 @@ class SceneBuilder:
         sph_r = np.asarray([s[1] for s in self._spheres], dt)
         sph_m = np.asarray([s[2] for s in self._spheres], np.int32)
 
-        tri_arrs = [np_stack(self._triangles, i, (3,)) for i in range(6)]
-        tri_uvs = [np_stack(self._triangles, i, (2,)) for i in range(6, 9)]
-        tri_m = np.asarray([t[9] for t in self._triangles], np.int32)
+        def tri_cat(i, shape):
+            if not self._triangles:
+                return np.zeros((0,) + shape, dt)
+            return np.concatenate([blk[i] for blk in self._triangles])
+
+        tri_arrs = [tri_cat(i, (3,)) for i in range(6)]
+        tri_uvs = [tri_cat(i, (2,)) for i in range(6, 9)]
+        tri_m = (
+            np.concatenate([blk[9] for blk in self._triangles])
+            if self._triangles else np.zeros((0,), np.int32)
+        )
 
         cyl_p0 = np_stack(self._cylinders, 0, (3,))
         cyl_p1 = np_stack(self._cylinders, 1, (3,))
@@ -368,7 +407,7 @@ class SceneBuilder:
             return bvh
 
         tri_bvh = None
-        if use_bvh and len(self._triangles) >= bvh_threshold:
+        if use_bvh and self._n_triangles >= bvh_threshold:
             v0, v1, v2 = tri_arrs[0], tri_arrs[1], tri_arrs[2]
             amin = np.minimum(np.minimum(v0, v1), v2)
             amax = np.maximum(np.maximum(v0, v1), v2)
@@ -394,7 +433,7 @@ class SceneBuilder:
 
         # ---- Pad pools with inert entries ----
         ns = _pad_to(len(self._spheres))
-        nt = _pad_to(len(self._triangles))
+        nt = _pad_to(self._n_triangles)
         nc = _pad_to(len(self._cylinders))
         ne = _pad_to(len(self._ellipsoids))
         npl = _pad_to(len(self._planes))

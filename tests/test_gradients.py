@@ -126,6 +126,44 @@ class TestGradientsVsFiniteDiff:
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestBVHGradients:
+    """Gradients through BVH-accelerated traversal (the detached-
+    traversal + analytic-recompute path of scene_closest_hit)."""
+
+    def test_bvh_scene_grads_finite_and_match_brute(self):
+        from scenes_fixtures import random_tri_field
+
+        b = random_tri_field(200)
+        scene_bvh = b.build(bvh_threshold=64)
+        scene_brute = b.build(use_bvh=False)
+        assert scene_bvh.tri_bvh is not None
+        cfg_b = st.RenderConfig(width=16, height=16, max_bounces=2,
+                                use_bvh=True)
+        cfg_n = st.RenderConfig(width=16, height=16, max_bounces=2,
+                                use_bvh=False)
+        cam = st.Camera.create(position=(0, 0, -6.0), fov=1.0)
+
+        def make_loss(scene, cfg):
+            def loss(params):
+                img, _ = render_sample(scene.with_params(params), cam, cfg)
+                return jnp.mean(img[..., :3] ** 2)
+            return loss
+
+        g_b = jax.jit(jax.grad(make_loss(scene_bvh, cfg_b)))(scene_bvh.params)
+        g_n = jax.jit(jax.grad(make_loss(scene_brute, cfg_n)))(
+            scene_brute.params)
+        for leaf in jax.tree_util.tree_leaves(g_b):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # BVH reorders triangles; compare the vertex-grad total instead
+        # of elementwise (order-insensitive check).
+        vb = sum(float(np.abs(np.asarray(x)).sum())
+                 for x in g_b["vertices"])
+        vn = sum(float(np.abs(np.asarray(x)).sum())
+                 for x in g_n["vertices"])
+        assert vb > 0
+        np.testing.assert_allclose(vb, vn, rtol=1e-3)
+
+
 class TestInverseRendering:
     """BASELINE config #4: recover sphere params by gradient descent."""
 
