@@ -19,6 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# Remote (tunneled) TPU compiles run 3-8 min; the persistent cache makes
+# repeat benches start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/solr_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 N_TRIS = int(os.environ.get("SOLR_BENCH_TRIS", 1_000_000))
 WIDTH = int(os.environ.get("SOLR_BENCH_WIDTH", 512))
 HEIGHT = int(os.environ.get("SOLR_BENCH_HEIGHT", 512))
@@ -33,22 +40,52 @@ def build_scene():
 
     rng = np.random.default_rng(42)
     b = st.SceneBuilder()
-    m = b.add_material(color=(0.7, 0.6, 0.5, 1.0), specular=0.3)
-    mirror = b.add_material(color=(0.9, 0.9, 0.9, 1.0), reflection=0.5)
+    terrain = b.add_material(color=(0.55, 0.5, 0.4, 1.0), specular=0.2)
+    mirror = b.add_material(color=(0.9, 0.9, 0.9, 1.0), reflection=0.6,
+                            specular=0.8)
 
-    # Triangle cloud: N_TRIS small triangles filling a slab the camera
-    # fully covers, so every pixel's traversal does real work.
+    # Tessellated terrain heightfield of ~N_TRIS triangles: a realistic
+    # high-poly surface (every pixel hits geometry; traversal touches a
+    # localized leaf set, unlike a volumetric triangle soup).
+    gw = int(np.sqrt(N_TRIS / 2.0))
+    gh = max(N_TRIS // (2 * gw), 1)
     extent = 40.0
-    c = rng.uniform(-extent, extent, (N_TRIS, 3)).astype(np.float32)
-    c[:, 2] = rng.uniform(20.0, 60.0, N_TRIS)
-    d1 = rng.normal(0, 0.25, (N_TRIS, 3)).astype(np.float32)
-    d2 = rng.normal(0, 0.25, (N_TRIS, 3)).astype(np.float32)
-    mats = np.where(rng.uniform(size=N_TRIS) < 0.3, mirror, m)
-    b.add_triangles_raw(c, c + d1, c + d2, mats)
-    b.add_light((0.0, extent * 1.5, 0.0), intensity=1.0)
+    xs = np.linspace(-extent, extent, gw + 1, dtype=np.float32)
+    zs = np.linspace(5.0, 5.0 + 2 * extent, gh + 1, dtype=np.float32)
+    xg, zg = np.meshgrid(xs, zs)
+    yg = (
+        2.0 * np.sin(xg * 0.25) * np.cos(zg * 0.25)
+        + 0.7 * np.sin(xg * 1.1 + 2.0) * np.cos(zg * 0.9)
+        + 0.25 * np.sin(xg * 3.7) * np.sin(zg * 4.1)
+        - 4.0
+    ).astype(np.float32)
+    verts = np.stack([xg, yg, zg], axis=-1).reshape(-1, 3)
+    idx = np.arange((gh + 1) * (gw + 1)).reshape(gh + 1, gw + 1)
+    q00 = idx[:-1, :-1].reshape(-1)
+    q10 = idx[:-1, 1:].reshape(-1)
+    q01 = idx[1:, :-1].reshape(-1)
+    q11 = idx[1:, 1:].reshape(-1)
+    faces = np.concatenate(
+        [
+            np.stack([q00, q10, q11], axis=-1),
+            np.stack([q00, q11, q01], axis=-1),
+        ]
+    )
+    b.add_mesh(verts, faces, terrain)
+
+    # Mirror spheres scattered on the terrain: secondary-ray workload.
+    for i in range(24):
+        x = rng.uniform(-extent * 0.8, extent * 0.8)
+        z = rng.uniform(10.0, 5.0 + 1.8 * extent)
+        b.add_sphere((x, -1.5, z), rng.uniform(0.8, 2.0), mirror)
+    b.add_light((0.0, extent, 10.0), intensity=1.0)
     scene = b.build(bvh_threshold=64)
-    cam = st.Camera.create(position=(0.0, 0.0, -10.0), fov=1.0)
-    cfg = st.RenderConfig(width=WIDTH, height=HEIGHT, max_bounces=BOUNCES)
+    cam = st.Camera.create(
+        position=(0.0, 2.0, -4.0), angles=(0.25, 0.0, 0.0), fov=1.0
+    )
+    cfg = st.RenderConfig(width=WIDTH, height=HEIGHT, max_bounces=BOUNCES,
+                          gradient_background=True,
+                          packet_max_leaves=1024)
     return scene, cam, cfg
 
 

@@ -146,6 +146,24 @@ def build_bvh(
     nmin -= _AABB_PAD
     nmax += _AABB_PAD
 
+    # Leaf-only view for packet culling, padded to a multiple of 128
+    # lanes with inert count-0 entries parked far away.
+    lmin, lmax = nmin[leaf_ids], nmax[leaf_ids]
+    lc = 0.5 * (lmin + lmax)
+    lr = 0.5 * np.linalg.norm(lmax - lmin, axis=-1)
+    lfirst = starts_a[leaf_ids]
+    lcount = counts[leaf_ids]
+    n_leaves = len(leaf_ids)
+    lpad = ((n_leaves + 127) // 128) * 128
+    lc = np.concatenate([lc, np.full((lpad - n_leaves, 3), 1e30, np.float32)])
+    lr = np.concatenate([lr, np.zeros(lpad - n_leaves, np.float32)])
+    lfirst = np.concatenate(
+        [lfirst, np.zeros(lpad - n_leaves, np.int32)]
+    ).astype(np.int32)
+    lcount = np.concatenate(
+        [lcount, np.zeros(lpad - n_leaves, np.int32)]
+    ).astype(np.int32)
+
     bvh = BVH(
         aabb_min=jnp.asarray(nmin),
         aabb_max=jnp.asarray(nmax),
@@ -153,6 +171,10 @@ def build_bvh(
         first_prim=jnp.asarray(np.where(is_leaf, starts_a, -1).astype(np.int32)),
         prim_count=jnp.asarray(np.where(is_leaf, counts, 0).astype(np.int32)),
         depth=jnp.asarray(depths_a),
+        leaf_center=jnp.asarray(lc),
+        leaf_radius=jnp.asarray(lr),
+        leaf_first=jnp.asarray(lfirst),
+        leaf_count=jnp.asarray(lcount),
         max_depth=int(depths_a.max()),
         leaf_size=int(leaf_size),
     )

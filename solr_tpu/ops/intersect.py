@@ -36,6 +36,7 @@ __all__ = [
     "cylinder_t_p",
     "ellipsoid_t_p",
     "plane_t_p",
+    "triangle_t_soa",
     "sphere_t",
     "triangle_t",
     "cylinder_t",
@@ -128,6 +129,38 @@ def ellipsoid_t_p(o, d, center, radii, t_min):
     sq = jnp.sqrt(jnp.where(valid, disc, 1.0))  # double-where: no NaN grad
     safe_a = jnp.maximum(a, INTERSECT_EPS)
     return _pick_root((-b - sq) / safe_a, (-b + sq) / safe_a, valid, t_min)
+
+
+def triangle_t_soa(
+    ox, oy, oz, dx, dy, dz,
+    ax, ay, az, bx, by, bz, cx, cy, cz,
+    t_min,
+):
+    """Moller-Trumbore on scalar components (two-sided).
+
+    TPU-first layout: float3 math with a trailing axis of 3 uses 3 of
+    the VPU's 128 lanes (~4% utilization — measured 27x slowdown on the
+    packet hot loop).  Here every operand broadcasts to the full
+    (rays, prims) tile — e.g. rays (TR, 1) x prims (1, C) — so each op
+    runs at full lane width and XLA fuses the whole chain into one pass.
+    """
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    safe = jnp.abs(det) > INTERSECT_EPS
+    inv_det = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, det, 1.0)
+    tx, ty, tz = ox - ax, oy - ay, oz - az
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (qx * dx + qy * dy + qz * dz) * inv_det
+    t = (qx * e2x + qy * e2y + qz * e2z) * inv_det
+    valid = safe & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return jnp.where(valid & (t > t_min), t, T_FAR)
 
 
 def plane_t_p(o, d, axis, origin, half_extents, t_min):

@@ -60,9 +60,12 @@ def trace_rays(
     d,
     cfg: RenderConfig,
     key: Optional[jax.Array] = None,
+    packet=None,
 ):
     """Trace a flat ray batch through the bounce chain.
 
+    ``packet``: optional (tile_rays, max_leaves) — rays must already be
+    tile-coherent groups (see render_sample's swizzle).
     Returns (color (R, 4), primary_t (R,)) — primary hit distance feeds
     depth-of-field post-processing (reference: the depth written to
     d_primitivesXYIds / the post-processing buffer).
@@ -73,11 +76,13 @@ def trace_rays(
 
     def bounce(carry, bounce_key):
         o, d, thru, color, live, dist0 = carry
-        hit = scene_closest_hit(scene, o, d, use_bvh=cfg.use_bvh)
+        hit = scene_closest_hit(scene, o, d, use_bvh=cfg.use_bvh,
+                                packet=packet)
         valid = hit.valid & live
         surf = surface_at(scene, hit, o, d)
 
-        local = phong_shade(scene, surf, d, cfg, bounce_key)  # (R,4)
+        local = phong_shade(scene, surf, d, cfg, bounce_key,
+                            packet=packet)  # (R,4)
 
         m = surf.material
         w_refr = mats.transparency[m]
@@ -181,7 +186,27 @@ def render_sample(
         t = tl
     else:
         o, d = camera_rays(camera, cfg, key, dtype)
-        color, t = trace_rays(scene, o, d, cfg, key)
+        spec = None
+        if (
+            scene.tri_bvh is not None
+            and scene.tri_bvh.leaf_center is not None
+            and cfg.use_bvh
+        ):
+            spec = cfg.packet_spec()
+        if spec is not None:
+            # Swizzle rays into spatially-coherent pixel tiles so packet
+            # bundles are tight (solr_tpu.ops.packet).
+            from solr_tpu.ops.packet import tile_permutation
+
+            perm, inv = tile_permutation(
+                cfg.width, cfg.height, cfg.packet_tile_w, cfg.packet_tile_h
+            )
+            color, t = trace_rays(
+                scene, o[perm], d[perm], cfg, key, packet=spec
+            )
+            color, t = color[inv], t[inv]
+        else:
+            color, t = trace_rays(scene, o, d, cfg, key)
     img = color.reshape(cfg.height, cfg.width, 4)
     depth = t.reshape(cfg.height, cfg.width)
     return img, depth

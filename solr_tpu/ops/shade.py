@@ -47,6 +47,7 @@ def phong_shade(
     view_dir,
     cfg: RenderConfig,
     key: Optional[jax.Array] = None,
+    packet=None,
 ):
     """Direct lighting at hit points: (R, 4) radiance.
 
@@ -113,6 +114,7 @@ def phong_shade(
                     ldir,
                     t_max=dist - RAY_EPS,
                     use_bvh=cfg.use_bvh,
+                    packet=packet,
                 )  # (R, L)
                 shadow = 1.0 - info.shadow_intensity * (1.0 - trans)
             else:

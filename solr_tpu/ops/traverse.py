@@ -189,9 +189,15 @@ def scene_closest_hit(
     t_min=RAY_EPS,
     t_max=T_FAR,
     use_bvh: bool = True,
+    packet=None,
 ) -> Hit:
     """Closest hit across every pool (reference:
     intersectionWithPrimitives), differentiable.
+
+    ``packet``: optional (tile_rays, max_leaves) — rays are already
+    tile-coherent groups of tile_rays; triangle traversal uses the
+    packet-culled path (solr_tpu.ops.packet) instead of the per-ray
+    while_loop walk.
 
     Two-phase design (SURVEY.md section 7 "differentiating through
     traversal"): the traversal itself — BVH while_loop or brute-force
@@ -204,7 +210,7 @@ def scene_closest_hit(
     """
     sg = jax.lax.stop_gradient
     raw = _scene_closest_hit_raw(
-        sg(scene), sg(o), sg(d), t_min, t_max, use_bvh
+        sg(scene), sg(o), sg(d), t_min, t_max, use_bvh, packet
     )
     t = _recompute_t(scene, o, d, raw.pool, raw.idx, t_min)
     # Keep the traversal t on miss (sentinel) and on rare recompute
@@ -256,9 +262,10 @@ def _scene_closest_hit_raw(
     t_min=RAY_EPS,
     t_max=T_FAR,
     use_bvh: bool = True,
+    packet=None,
 ) -> Hit:
-    """Detached traversal: BVH skip-pointer walk where attached, chunked
-    brute-force sweep otherwise."""
+    """Detached traversal: packet-culled sweep (coherent tiles) or BVH
+    skip-pointer walk where attached, chunked brute-force otherwise."""
     from solr_tpu.ops import bvh as bvh_mod  # local import to avoid cycle
 
     r_shape = o.shape[:-1]
@@ -277,7 +284,16 @@ def _scene_closest_hit_raw(
         if size == 0:
             continue
         bvh = pool_bvh.get(code) if use_bvh else None
-        if bvh is not None:
+        if (
+            code == POOL_TRIANGLE
+            and bvh is not None
+            and packet is not None
+            and bvh.leaf_center is not None
+            and len(r_shape) == 1
+            and r_shape[0] % packet[0] == 0
+        ):
+            t, i = _tri_packet_closest(scene, bvh, o, d, t_min, packet)
+        elif bvh is not None:
             t, i = bvh_mod.bvh_closest_hit(scene, bvh, code, o, d, t_min, t_max)
         else:
             t, i = _pool_closest(o, d, scene, code, t_min, t_max)
@@ -288,6 +304,39 @@ def _scene_closest_hit_raw(
     return Hit(t=best_t, pool=best_pool, idx=best_idx)
 
 
+def _use_pallas(tile_rays: int) -> bool:
+    from solr_tpu.ops.pallas_kernels import TILE_RAYS
+
+    return tile_rays == TILE_RAYS and jax.default_backend() == "tpu"
+
+
+def _tri_packet_closest(scene, bvh, o, d, t_min, packet):
+    from solr_tpu.ops import packet as pk
+
+    tile_rays, max_leaves = packet
+    r = o.shape[0]
+    o_t = o.reshape(-1, tile_rays, 3)
+    d_t = d.reshape(-1, tile_rays, 3)
+    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+    mask, near = pk.cull_leaves(
+        po, ro, axis, cos_g, bvh.leaf_center, bvh.leaf_radius
+    )
+    cand, valid, _overflow = pk.candidate_leaves(mask, max_leaves, near)
+    if _use_pallas(tile_rays):
+        from solr_tpu.ops.pallas_kernels import tri_tiles_closest_pallas
+
+        near_sorted = jnp.take_along_axis(near, cand, axis=-1)
+        t, i = tri_tiles_closest_pallas(
+            scene.triangles, bvh, o_t, d_t, cand, valid, near_sorted,
+            t_min,
+        )
+    else:
+        t, i = pk.tri_tiles_closest(
+            scene.triangles, bvh, o_t, d_t, cand, valid, t_min
+        )
+    return t.reshape(r), i.reshape(r)
+
+
 def scene_transmittance(
     scene: Scene,
     o,
@@ -295,6 +344,7 @@ def scene_transmittance(
     t_max,
     t_min=RAY_EPS,
     use_bvh: bool = True,
+    packet=None,
 ):
     """Shadow-ray transmittance in [0, 1] toward a light.
 
@@ -330,6 +380,20 @@ def scene_transmittance(
         if size == 0:
             continue
         bvh = pool_bvh.get(code) if use_bvh else None
+        if (
+            code == POOL_TRIANGLE
+            and bvh is not None
+            and packet is not None
+            and bvh.leaf_center is not None
+            and len(r_shape) >= 1
+            and r_shape[0] % packet[0] == 0
+        ):
+            trans = trans * jax.lax.stop_gradient(
+                _tri_packet_transmittance(
+                    scene, bvh, o, d, t_max, t_min, packet
+                )
+            )
+            continue
         if bvh is not None:
             # Detached: shadow topology is discrete and the while_loop
             # walk has no reverse rule.  Within fixed topology the only
@@ -360,6 +424,52 @@ def scene_transmittance(
 
         trans, _ = jax.lax.scan(body, trans, jnp.arange(n_chunks))
     return trans
+
+
+def _tri_packet_transmittance(scene, bvh, o, d, t_max, t_min, packet):
+    """Packet shadow transmittance; handles (R, 3) and (R, L, 3) rays
+    (the shadow path is vectorized rays x lights)."""
+    from solr_tpu.ops import packet as pk
+
+    tile_rays, max_leaves = packet
+    mats = scene.materials
+    tri_m = scene.triangles.material
+    # Emissive lamps never occlude (reference: processShadows skips the
+    # lamp primitive).
+    factor = jnp.where(
+        mats.emission[tri_m] > 0.0, 1.0, mats.transparency[tri_m]
+    )
+
+    def one(o2, d2, tm2):  # (R, 3), (R, 3), (R,)
+        o_t = o2.reshape(-1, tile_rays, 3)
+        d_t = d2.reshape(-1, tile_rays, 3)
+        tm_t = jnp.broadcast_to(tm2, o2.shape[:-1]).reshape(-1, tile_rays)
+        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+        mask, near = pk.cull_leaves(
+            po, ro, axis, cos_g, bvh.leaf_center, bvh.leaf_radius
+        )
+        cand, valid, _ = pk.candidate_leaves(mask, max_leaves, near)
+        if _use_pallas(tile_rays):
+            from solr_tpu.ops.pallas_kernels import (
+                tri_tiles_transmittance_pallas,
+            )
+
+            near_sorted = jnp.take_along_axis(near, cand, axis=-1)
+            tr = tri_tiles_transmittance_pallas(
+                scene.triangles, bvh, o_t, d_t, tm_t, cand, valid,
+                near_sorted, t_min, factor,
+            )
+        else:
+            tr = pk.tri_tiles_transmittance(
+                scene.triangles, bvh, o_t, d_t, tm_t, cand, valid, t_min,
+                factor,
+            )
+        return tr.reshape(o2.shape[:-1])
+
+    if o.ndim == 3:  # (R, L, 3): per-light bundles
+        tm = jnp.broadcast_to(t_max, o.shape[:-1])
+        return jax.vmap(one, in_axes=(1, 1, 1), out_axes=1)(o, d, tm)
+    return one(o, d, jnp.broadcast_to(t_max, o.shape[:-1]))
 
 
 def _pool_t_chunk(scene: Scene, code: int, o, d, start, chunk, t_min):

@@ -264,6 +264,25 @@ class RenderConfig:
     use_bvh: bool = True
     ray_block: int = 1024  # rays per Pallas block
     backend: str = "auto"  # "auto" | "jnp" | "pallas"
+    # Traversal strategy for BVH-accelerated pools (ops.packet vs the
+    # reference-semantics per-ray while_loop walk in ops.bvh):
+    traversal: str = "auto"  # "auto" | "packet" | "while"
+    packet_tile_w: int = 32  # pixel-tile width (packet mode)
+    packet_tile_h: int = 32  # pixel-tile height
+    packet_max_leaves: int = 512  # per-tile candidate-leaf cap
+
+    @property
+    def packet_rays(self) -> int:
+        return self.packet_tile_w * self.packet_tile_h
+
+    def packet_spec(self):
+        """(tile_rays, max_leaves) when packet traversal applies."""
+        if self.traversal in ("auto", "packet") and (
+            self.width % self.packet_tile_w == 0
+            and self.height % self.packet_tile_h == 0
+        ):
+            return (self.packet_rays, self.packet_max_leaves)
+        return None
 
     @property
     def n_pixels(self) -> int:
@@ -413,6 +432,12 @@ class BVH:
     first_prim: Any  # (K,) int32, -1 for inner nodes
     prim_count: Any  # (K,) int32, 0 for inner nodes
     depth: Any  # (K,) int32 node depth (for level-wise refit)
+    # Leaf-only view for packet (tile-frustum) culling, padded to a
+    # lane-friendly count with count-0 entries (solr_tpu.ops.packet):
+    leaf_center: Any = None  # (L,3) leaf bounding-sphere centers
+    leaf_radius: Any = None  # (L,) leaf bounding-sphere radii
+    leaf_first: Any = None  # (L,) int32 first prim of leaf
+    leaf_count: Any = None  # (L,) int32 prim count (0 = padding)
     max_depth: int = static_field(default=0)
     leaf_size: int = static_field(default=8)
 
