@@ -1,0 +1,188 @@
+"""Wavefront OBJ + MTL import.
+
+TPU-native re-creation of the reference's OBJ pipeline
+(solr/io/OBJReader.cpp: importModelFromFile — two-pass v/vn/vt then
+faces, quad -> two triangles, per-face material from the MTL library
+with map_Kd texture loading, optional scaling/centering, computed face
+normals when vn is absent).  Emits bulk triangle blocks into a
+SceneBuilder instead of per-primitive addPrimitive calls.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+__all__ = ["load_obj", "parse_mtl"]
+
+
+def parse_mtl(path: str, builder, texture_dir: Optional[str] = None):
+    """Parse an MTL library into builder materials.
+
+    Returns {material_name: material_id}.  Supported fields (reference:
+    OBJReader's MTL handling): Kd (diffuse), Ks + Ns (specular), d /
+    Tr (opacity -> transparency), Ni (IoR), illum >= 3 (reflective),
+    map_Kd (diffuse texture via ImageLoader analog).
+    """
+    from solr_tpu.io.image import load_image
+
+    mats: Dict[str, int] = {}
+    if not os.path.exists(path):
+        return mats
+    name = None
+    props: Dict[str, object] = {}
+
+    def flush():
+        if name is None:
+            return
+        kd = props.get("kd", (0.8, 0.8, 0.8))
+        ks = props.get("ks", (0.0, 0.0, 0.0))
+        spec = float(np.max(ks))
+        opacity = float(props.get("d", 1.0))
+        illum = int(props.get("illum", 2))
+        tex = -1
+        if "map_kd" in props and texture_dir is not None:
+            tex_path = os.path.join(texture_dir, str(props["map_kd"]))
+            if os.path.exists(tex_path):
+                tex = builder.add_texture(load_image(tex_path))
+        mats[name] = builder.add_material(
+            color=(kd[0], kd[1], kd[2], 1.0),
+            specular=spec,
+            specular_power=float(props.get("ns", 50.0)),
+            reflection=0.4 if illum >= 3 else 0.0,
+            ior=float(props.get("ni", 1.0)),
+            transparency=1.0 - opacity,
+            texture_diffuse=tex,
+        )
+
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0].lower()
+            if key == "newmtl":
+                flush()
+                name = parts[1]
+                props = {}
+            elif key in ("kd", "ks"):
+                props[key] = tuple(float(x) for x in parts[1:4])
+            elif key in ("ns", "ni", "d"):
+                props[key] = float(parts[1])
+            elif key == "tr":
+                props["d"] = 1.0 - float(parts[1])
+            elif key == "illum":
+                props["illum"] = int(parts[1])
+            elif key == "map_kd":
+                props["map_kd"] = parts[-1]
+    flush()
+    return mats
+
+
+def load_obj(
+    path: str,
+    builder,
+    material: Optional[int] = None,
+    scale: Optional[float] = None,
+    center: bool = True,
+    load_materials: bool = True,
+):
+    """Import an OBJ file into ``builder``; returns the first triangle id.
+
+    ``material`` overrides MTL materials when given (reference:
+    OBJReader's default-material path).  ``scale``: when given, the
+    model is normalized so its largest |coordinate| equals ``scale``
+    (reference: OBJReader's scaling-to-scene-units).
+    """
+    verts, norms, uvs = [], [], []
+    # Faces grouped per material for bulk emission.
+    groups: Dict[int, list] = {}
+    mtl_map: Dict[str, int] = {}
+    cur_mat = material if material is not None else 0
+    obj_dir = os.path.dirname(os.path.abspath(path))
+
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0]
+            if key == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif key == "vn":
+                norms.append([float(x) for x in parts[1:4]])
+            elif key == "vt":
+                uvs.append([float(x) for x in parts[1:3]])
+            elif key == "mtllib" and load_materials and material is None:
+                mtl_map.update(
+                    parse_mtl(
+                        os.path.join(obj_dir, parts[1]), builder, obj_dir
+                    )
+                )
+            elif key == "usemtl" and material is None:
+                cur_mat = mtl_map.get(parts[1], 0)
+            elif key == "f":
+                refs = []
+                for p in parts[1:]:
+                    comps = p.split("/")
+                    vi = int(comps[0])
+                    ti = int(comps[1]) if len(comps) > 1 and comps[1] else 0
+                    ni = int(comps[2]) if len(comps) > 2 and comps[2] else 0
+                    refs.append((vi, ti, ni))
+                # Fan-triangulate polygons (quad -> 2 tris; reference
+                # handles tri + quad, we generalize).
+                for a in range(1, len(refs) - 1):
+                    groups.setdefault(cur_mat, []).append(
+                        (refs[0], refs[a], refs[a + 1])
+                    )
+
+    if not verts:
+        return None
+    v = np.asarray(verts, np.float32)
+    if center:
+        lo, hi = v.min(axis=0), v.max(axis=0)
+        v = v - 0.5 * (lo + hi)
+    if scale is not None:
+        extent = float(np.abs(v).max())
+        if extent > 0:
+            v = v * (scale / extent)
+    n = np.asarray(norms, np.float32) if norms else None
+    t = np.asarray(uvs, np.float32) if uvs else None
+
+    def resolve(idx, arr, count):
+        return (idx - 1) if idx > 0 else (count + idx)
+
+    first = None
+    for mat_id, faces in groups.items():
+        fv = np.asarray(
+            [[resolve(r[0], v, len(v)) for r in f3] for f3 in faces],
+            np.int64,
+        )
+        v0, v1, v2 = v[fv[:, 0]], v[fv[:, 1]], v[fv[:, 2]]
+        normals = None
+        if n is not None and all(
+            all(r[2] != 0 for r in f3) for f3 in faces[:1]
+        ):
+            fn = np.asarray(
+                [[resolve(r[2], n, len(n)) for r in f3] for f3 in faces],
+                np.int64,
+            )
+            fn = np.clip(fn, 0, len(n) - 1)
+            normals = np.stack([n[fn[:, i]] for i in range(3)], axis=1)
+        uv3 = None
+        if t is not None and all(
+            all(r[1] != 0 for r in f3) for f3 in faces[:1]
+        ):
+            ft = np.asarray(
+                [[resolve(r[1], t, len(t)) for r in f3] for f3 in faces],
+                np.int64,
+            )
+            ft = np.clip(ft, 0, len(t) - 1)
+            uv3 = np.stack([t[ft[:, i]] for i in range(3)], axis=1)
+        tid = builder.add_triangles_raw(
+            v0, v1, v2, material=mat_id, normals=normals, uvs=uv3
+        )
+        first = tid if first is None else first
+    return first

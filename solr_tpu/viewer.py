@@ -1,0 +1,152 @@
+"""Offline viewer / render CLI.
+
+TPU-native analog of the reference's GLUT viewer (apps/sol-r/main.cpp:
+the display/keyboard/idle loop blitting the engine bitmap).  TPU hosts
+are headless, so the viewer renders demo scenes (or .irt/.obj/.pdb/.swc
+files) to PNG frames — single stills, progressive refinement, or
+animation sequences — with the same camera/post-processing controls the
+reference bound to hotkeys.
+
+  python -m solr_tpu.viewer --scene cornell --out cornell.png
+  python -m solr_tpu.viewer --scene cubes --frames 24 --out anim/
+  python -m solr_tpu.viewer --file model.obj --width 512 --height 512
+  python -m solr_tpu.viewer --scene cornell --mode anaglyph --spp 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import solr_tpu as st
+from solr_tpu.io.image import save_image
+
+
+def build_from_file(path: str):
+    from solr_tpu.io import load_obj, load_pdb, load_scene, load_swc
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".irt":
+        scene, camera = load_scene(path)
+        return scene, camera or st.Camera.create()
+    b = st.SceneBuilder()
+    if ext == ".obj":
+        load_obj(path, b, scale=1.5)
+    elif ext == ".pdb":
+        load_pdb(path, b, scale=0.2)
+    elif ext == ".swc":
+        load_swc(path, b, scale=0.02)
+    else:
+        raise SystemExit(f"unsupported file type: {ext}")
+    from solr_tpu.types import PlaneAxis, ProceduralKind
+
+    floor = b.add_material(
+        color=(0.85, 0.85, 0.85, 1.0),
+        procedural=ProceduralKind.CHECKER, procedural_scale=8.0,
+    )
+    b.add_plane(PlaneAxis.XZ, (0.0, -1.8, 0.0), (12.0, 12.0), floor)
+    b.add_light((5.0, 8.0, -5.0))
+    return b.build(), st.Camera.create(position=(0.0, 0.5, -4.0), fov=0.9)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default=None,
+                    help="demo scene name (see --list)")
+    ap.add_argument("--file", default=None,
+                    help=".obj / .pdb / .swc / .irt to view")
+    ap.add_argument("--list", action="store_true",
+                    help="list demo scenes and exit")
+    ap.add_argument("--out", default="frame.png")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--bounces", type=int, default=3)
+    ap.add_argument("--spp", type=int, default=1,
+                    help="progressive samples to accumulate")
+    ap.add_argument("--frames", type=int, default=1,
+                    help="animation frames (scene.animate per frame)")
+    ap.add_argument("--mode", default="mono",
+                    choices=["mono", "anaglyph", "sidebyside", "fisheye"])
+    ap.add_argument("--postfx", default="none",
+                    choices=["none", "dof", "ao"])
+    ap.add_argument("--save-irt", default=None,
+                    help="also serialize the scene to this .irt path")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from solr_tpu.scenes import SCENE_REGISTRY, make_scene
+
+    if args.list:
+        for name in sorted(SCENE_REGISTRY):
+            print(name)
+        return
+
+    mode = {
+        "mono": st.CameraMode.MONO,
+        "anaglyph": st.CameraMode.ANAGLYPH,
+        "sidebyside": st.CameraMode.SIDE_BY_SIDE,
+        "fisheye": st.CameraMode.FISHEYE,
+    }[args.mode]
+    postfx = {
+        "none": st.PostFxMode.NONE,
+        "dof": st.PostFxMode.DEPTH_OF_FIELD,
+        "ao": st.PostFxMode.AMBIENT_OCCLUSION,
+    }[args.postfx]
+    cfg = st.RenderConfig(
+        width=args.width,
+        height=args.height,
+        max_bounces=args.bounces,
+        camera_mode=mode,
+        postfx=st.PostFxConfig(mode=postfx),
+        antialias_jitter=args.spp > 1,
+    )
+
+    demo = None
+    if args.file:
+        scene, camera = build_from_file(args.file)
+    else:
+        demo = make_scene(args.scene or "cornell", seed=args.seed)
+        scene, camera = demo.scene, demo.camera
+
+    if args.save_irt:
+        from solr_tpu.io import save_scene
+
+        save_scene(args.save_irt, scene, camera)
+        print(f"saved {args.save_irt}")
+
+    import jax
+
+    from solr_tpu.ops.render import jit_render
+
+    key = jax.random.PRNGKey(args.seed)
+
+    def render_one(scene, camera, key):
+        if args.spp > 1:
+            return jit_render(scene, camera, cfg, key, spp=args.spp)
+        return jit_render(scene, camera, cfg, key)
+
+    if args.frames <= 1:
+        t0 = time.time()
+        img = np.asarray(render_one(scene, camera, key))
+        print(f"rendered {args.width}x{args.height} in "
+              f"{time.time() - t0:.1f}s")
+        save_image(args.out, img[..., :3])
+        print(f"wrote {args.out}")
+        return
+
+    os.makedirs(args.out, exist_ok=True)
+    for f in range(args.frames):
+        if demo is not None:
+            scene, camera = demo.animate(f)
+        key, sub = jax.random.split(key)
+        img = np.asarray(render_one(scene, camera, sub))
+        path = os.path.join(args.out, f"frame_{f:04d}.png")
+        save_image(path, img[..., :3])
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
