@@ -168,7 +168,11 @@ def _trans_kernel(
         t = _woop_block(o4, d4, tri12, t_min)
         occ = ok & (t < tmax[0])  # (1024, 128)
         f = jnp.where(occ, factor[0, 0], 1.0)
-        tr = tr_ref[0] * jnp.prod(f, axis=1, keepdims=True)
+        # Lane product via exp(sum(log)): Mosaic has no reduce_prod
+        # lowering on the TC kernel path.  Exact at the boundaries
+        # (log(0) = -inf -> exp = 0; log(1) = 0) and f in [0, 1].
+        logf = jnp.log(jnp.maximum(f, 0.0))
+        tr = tr_ref[0] * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
         tr_ref[0] = tr
         live_ref[0] = jnp.max(tr)
 
