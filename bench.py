@@ -83,9 +83,11 @@ def build_scene():
     cam = st.Camera.create(
         position=(0.0, 2.0, -4.0), angles=(0.25, 0.0, 0.0), fov=1.0
     )
+    from solr_tpu.ops.packet import BLOCK
+
     cfg = st.RenderConfig(width=WIDTH, height=HEIGHT, max_bounces=BOUNCES,
                           gradient_background=True,
-                          packet_max_leaves=1024)
+                          packet_max_blocks=max(12288 // BLOCK, 8))
     return scene, cam, cfg
 
 

@@ -8,52 +8,64 @@ TPU VPU has NO per-lane control flow, so a literal translation (per-ray
 reference-semantics fallback) runs lock-step over the worst-case ray and
 dies on gather latency.
 
-TPU-first redesign (classic packet tracing mapped onto dense XLA ops):
+TPU-first redesign (classic packet tracing mapped onto dense XLA ops and
+one Pallas kernel):
 
   1. rays are swizzled into spatially-coherent square pixel tiles
      (RenderConfig.packet_tile rays per tile);
   2. each tile's bundle is summarized as an origin-bounding-sphere plus
      a direction cone — 10 floats per tile;
-  3. a DENSE (tiles x leaves) cone-vs-leaf-sphere test culls the BVH's
-     leaf list in one fully-vectorized shot (the hierarchy is only used
-     to FORM good leaves; culling tests all leaf spheres directly,
-     which at <= a few hundred thousand leaves is cheaper on a TPU than
-     pointer-chasing the tree);
-  4. `top_k` compacts each tile's candidate leaves to a static-width
-     list (cap = RenderConfig.packet_max_leaves, overflow reported);
-  5. each tile brute-force intersects only its candidate leaves'
-     primitives — static-shape chunked sweeps over gathered, contiguous
-     leaf ranges (the pool is Morton-reordered at build, so leaf prims
-     are consecutive rows).
+  3. the Morton-reordered triangle pool is cut into contiguous BLOCKs of
+     128 primitives; per-block Woop transforms and bounding spheres are
+     recomputed from the live vertices each frame (pure elementwise +
+     128-segment reductions — O(N), no gathers, always fresh under
+     geometry optimization);
+  4. a DENSE (tiles x blocks) cone-vs-block-sphere test culls the block
+     list in one fully-vectorized shot (at 1M tris there are only ~8k
+     blocks — the whole "tree" fits in one vector op, which on a TPU
+     beats pointer-chasing by orders of magnitude);
+  5. `top_k` compacts each tile's candidate blocks to a static-width,
+     nearest-first list (cap = RenderConfig.packet_max_blocks);
+  6. each tile intersects only its candidate blocks — on TPU a Pallas
+     kernel whose BlockSpec index_map reads the scalar-prefetched
+     candidate ids, so ONLY the touched blocks are ever DMA'd from HBM
+     (no XLA-side pregather at all); on CPU an equivalent gather+sweep.
 
-Everything is static-shape, gather-light, and VPU-vectorized over the
-tile's rays; per-ray divergence never appears.  Traversal output feeds
+Everything is static-shape and VPU/MXU-vectorized over the tile's rays;
+per-ray divergence never appears.  Traversal output feeds
 scene_closest_hit's detached-select + analytic-recompute, so gradients
 are unaffected by the traversal strategy.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from solr_tpu.constants import T_FAR
-from solr_tpu.ops import intersect as isect
-from solr_tpu.ops.vecmath import dot, normalize
+from solr_tpu.ops.vecmath import cross, dot, normalize
 
 __all__ = [
+    "BLOCK",
     "make_bundles",
     "cull_leaves",
     "candidate_leaves",
-    "tri_tiles_closest",
-    "tri_tiles_transmittance",
+    "block_pack",
+    "tri_blocks_closest",
+    "tri_blocks_transmittance",
     "tile_permutation",
 ]
 
-# Leaves per inner chunk of the per-tile sweep.
-_LEAF_CHUNK = 16
+# Triangles per block: a multiple of the 128-lane vector register row;
+# also the DMA granularity of the Pallas kernel.  Bigger blocks cost
+# extra (coarser-cull) intersection tests but amortize per-grid-step
+# overhead; 256 measured fastest on v5e at 1M tris (512 blows the 16 MB
+# scoped-VMEM limit with (1024, BLOCK) f32 intermediates).
+import os as _os
+
+BLOCK = int(_os.environ.get("SOLR_PACKET_BLOCK", "256"))
 
 
 def tile_permutation(width: int, height: int, tile_w: int, tile_h: int):
@@ -77,15 +89,26 @@ def tile_permutation(width: int, height: int, tile_w: int, tile_h: int):
 
 def make_bundles(o_t, d_t):
     """Per-tile bundle: origin sphere (po, ro) + direction cone (axis,
-    cos_half_angle).  o_t/d_t: (T, TR, 3)."""
-    po = o_t.mean(axis=1)  # (T, 3)
-    ro = jnp.sqrt(
-        jnp.max(dot(o_t - po[:, None, :], o_t - po[:, None, :]), axis=1)
+    cos_half_angle).  o_t/d_t: (T, TR, 3).
+
+    SoA component math: reductions run on (T, TR) full-lane shapes —
+    the (T, TR, 3) minor-dim-3 form wastes 125 of 128 vector lanes.
+    """
+    ox, oy, oz = o_t[..., 0], o_t[..., 1], o_t[..., 2]  # (T, TR)
+    dx, dy, dz = d_t[..., 0], d_t[..., 1], d_t[..., 2]
+    px, py, pz = ox.mean(axis=1), oy.mean(axis=1), oz.mean(axis=1)  # (T,)
+    rx, ry, rz = ox - px[:, None], oy - py[:, None], oz - pz[:, None]
+    ro = jnp.sqrt(jnp.max(rx * rx + ry * ry + rz * rz, axis=1))
+    ax, ay, az = dx.mean(axis=1), dy.mean(axis=1), dz.mean(axis=1)
+    an = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-12))
+    ax, ay, az = ax / an, ay / an, az / an
+    cos_g = jnp.min(
+        dx * ax[:, None] + dy * ay[:, None] + dz * az[:, None], axis=1
     )
-    axis = normalize(d_t.mean(axis=1))
-    cos_g = jnp.min(dot(d_t, axis[:, None, :]), axis=1)
     # Fully incoherent tile -> half-angle >= 90deg: accept everything.
     cos_g = jnp.clip(cos_g, -1.0, 1.0)
+    po = jnp.stack([px, py, pz], axis=-1)
+    axis = jnp.stack([ax, ay, az], axis=-1)
     return po, ro, axis, cos_g
 
 
@@ -100,12 +123,12 @@ def cull_leaves(po, ro, axis, cos_g, centers, radii):
     rejects the rest (cos_sum formula is conservative for dist > rr).
 
     Returns (mask (T, L), near (T, L)) where near is a lower bound on
-    the hit distance inside the leaf — used to keep the NEAREST
+    the hit distance inside the sphere — used to keep the NEAREST
     candidates when a tile overflows the cap.
 
     SoA component math throughout: (T, L) full-lane shapes; the float3
-    form materialized 134 MB x ~12 intermediates at 131k leaves and was
-    memory-bound at ~600 ms.
+    form materialized 134 MB x ~12 intermediates at 131k spheres and
+    was memory-bound.
     """
     cx, cy, cz = centers[:, 0][None], centers[:, 1][None], centers[:, 2][None]
     vx = cx - po[:, 0][:, None]  # (T, L)
@@ -129,154 +152,253 @@ def cull_leaves(po, ro, axis, cos_g, centers, radii):
     return mask, near
 
 
-def candidate_leaves(mask, max_leaves: int, near=None):
-    """Compact each tile's True lanes to (T, max_leaves) leaf indices.
+def cull_blocks(po, ro, axis, cos_g, centers, half_extents):
+    """(T, B) conservative bundle-vs-AABB visibility + distance.
 
-    With ``near`` (lower-bound hit distance per (tile, leaf)), the
+    Support-function cone test: for box center c, half-extents h, and
+    bundle (origin sphere (po, ro), cone (axis a, half-angle g)):
+
+      v      = c - po;  t_c = v.a;  perp = |v - t_c a|
+      u      = (v - t_c a) / perp        (approach direction, u ⊥ a)
+      r_perp = h . |u|                   (box support along u)
+      r_axis = h . |a|                   (box support along a)
+
+    Every box point's distance to the axis LINE is >= perp - r_perp
+    (support-function bound, exact for convex sets), and the cone's
+    radius never exceeds ro + max(t_c + r_axis, 0) * tan(g) over the
+    box's axis span — so
+
+      visible  iff  perp - r_perp <= ro + max(t_c + r_axis, 0) tan(g)
+               and  t_c + r_axis >= -ro            (not entirely behind)
+
+    Wide bundles (cos_g <= 0.05, i.e. half-angle ~>= 87deg: incoherent
+    secondary tiles) skip the angular test and keep only the behind
+    reject with the sphere bound.  Much tighter than the sphere test
+    for the flat blocks of surface meshes (~2x fewer candidates on the
+    1M-tri terrain bench).
+
+    Returns (mask (T, B), near (T, B)); near = max(|v| - |h| - ro, 0)
+    is a valid lower bound on any bundle ray's hit distance in the box.
+
+    SoA component math throughout — (T, B) full-lane shapes only.
+    """
+    cx, cy, cz = centers[:, 0][None], centers[:, 1][None], centers[:, 2][None]
+    hx, hy, hz = (
+        half_extents[:, 0][None],
+        half_extents[:, 1][None],
+        half_extents[:, 2][None],
+    )
+    vx = cx - po[:, 0][:, None]  # (T, B)
+    vy = cy - po[:, 1][:, None]
+    vz = cz - po[:, 2][:, None]
+    ax, ay, az = axis[:, 0][:, None], axis[:, 1][:, None], axis[:, 2][:, None]
+    t_c = vx * ax + vy * ay + vz * az
+    d2 = vx * vx + vy * vy + vz * vz
+    perp2 = jnp.maximum(d2 - t_c * t_c, 0.0)
+    perp = jnp.sqrt(perp2)
+    inv_p = jnp.where(perp > 1e-9, 1.0, 0.0) / jnp.where(perp > 1e-9, perp, 1.0)
+    # |u| components; u = (v - t_c a) / perp.
+    r_perp = (
+        hx * jnp.abs(vx - t_c * ax)
+        + hy * jnp.abs(vy - t_c * ay)
+        + hz * jnp.abs(vz - t_c * az)
+    ) * inv_p
+    # perp ~ 0 (axis through center): support radius in ANY perp
+    # direction is bounded by |h|; fall back to that.
+    h_norm = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+    r_perp = jnp.where(perp > 1e-9, r_perp, h_norm)
+    r_axis = hx * jnp.abs(ax) + hy * jnp.abs(ay) + hz * jnp.abs(az)
+
+    rr = ro[:, None]
+    cg = cos_g[:, None]
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cg * cg, 0.0))
+    tan_g = sin_g / jnp.maximum(cg, 1e-3)
+    reach = jnp.maximum(t_c + r_axis, 0.0)
+    narrow = cg > 0.05
+    ahead = t_c + r_axis >= -rr
+    ang_ok = perp - r_perp <= rr + reach * tan_g
+    near_sphere_hit = jnp.sqrt(d2) <= h_norm + rr  # origin inside/near box
+    # Wide bundles (~narrow): directions span nearly everywhere, so the
+    # mean-axis 'ahead'/angular tests are meaningless — accept all.
+    mask = ~narrow | near_sphere_hit | (ahead & ang_ok)
+    near = jnp.maximum(jnp.sqrt(d2) - h_norm - rr, 0.0)
+    return mask, near
+
+
+def candidate_leaves(mask, max_cand: int, near=None):
+    """Compact each tile's True lanes to (T, max_cand) indices.
+
+    With ``near`` (lower-bound hit distance per (tile, sphere)), the
     NEAREST candidates are kept, so an overflowing tile drops only its
-    farthest leaves — harmless for closest-hit whenever a nearer hit
+    farthest spheres — harmless for closest-hit whenever a nearer hit
     exists, and the degradation is graceful rather than systematic.
 
     Returns (idx, valid, overflow): overflow bool() — True when any
     tile exceeded the cap (tests assert no overflow for exactness).
+    Valid entries are a sorted (nearest-first) prefix.
     """
     counts = mask.sum(axis=-1)
-    max_leaves = min(max_leaves, mask.shape[-1])
+    max_cand = min(max_cand, mask.shape[-1])
     if near is None:
         score = mask.astype(jnp.float32)
     else:
         big = jnp.asarray(1e30, near.dtype)
         score = jnp.where(mask, -near, -big)  # nearest first
-    _, idx = jax.lax.top_k(score, max_leaves)
+    _, idx = jax.lax.top_k(score, max_cand)
     valid = jnp.take_along_axis(mask, idx, axis=-1)
-    overflow = jnp.any(counts > max_leaves)
+    overflow = jnp.any(counts > max_cand)
     return idx.astype(jnp.int32), valid, overflow
 
 
-def _pregather(tris, bvh, cand, cand_valid):
-    """Expand (T, MAXC) candidate leaves to per-primitive SoA arrays.
+# --------------------------------------------------------------------------
+# Block data: per-frame Woop transforms + bounding spheres.
+# --------------------------------------------------------------------------
 
-    One bulk gather up front (outside the intersect scan — in-scan
-    gathers measured 1.9x slower) of the 9 vertex components, each
-    (T, MAXC*LS).  Returns (components, pid, ok).
+
+def block_pack(tris, factor=None):
+    """Pack the (Morton-reordered) triangle pool into per-BLOCK data.
+
+    Returns (packed (B, 16, BLOCK), centers (B, 3), radii (B,)):
+      rows 0..11: the Woop world->unit-triangle affine transform
+                  [r1x r1y r1z m1 | r2x r2y r2z m2 | r3x r3y r3z m3]
+                  (t1/t2/t3 = rows 0:4/4:8/8:12; the direction variants
+                  drop the m column — row 12 is kept zero for that);
+      rows 12..14: zeros;
+      row 15: per-primitive shadow ``factor`` (0 if not given).
+
+    All pure elementwise math + BLOCK-segment reductions over the live
+    vertex arrays — O(N), gather-free, recomputed per frame so moving
+    geometry never goes stale.  Degenerate (padding) triangles get
+    all-zero rows -> d'z == 0 in the kernel -> never hit, and are
+    excluded from the block bounds (all-zero rows park at +inf).
     """
-    ls = bvh.leaf_size
     n = tris.v0.shape[0]
-    first = bvh.leaf_first[cand]  # (T, MAXC)
-    count = bvh.leaf_count[cand]
-    pid = jnp.clip(
-        first[..., None] + jnp.arange(ls, dtype=jnp.int32), 0, n - 1
+    b = (n + BLOCK - 1) // BLOCK
+    pad = b * BLOCK - n
+
+    def pv(a):
+        return jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+
+    v0, v1, v2 = pv(tris.v0), pv(tris.v1), pv(tris.v2)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    nrm = cross(e1, e2)
+    den = dot(nrm, nrm)
+    ok = den > 1e-18
+    inv = (jnp.where(ok, 1.0, 0.0) / jnp.where(ok, den, 1.0))[:, None]
+    r1 = cross(e2, nrm) * inv
+    r2 = cross(nrm, e1) * inv
+    r3 = nrm * inv
+    m1 = -dot(r1, v0)
+    m2 = -dot(r2, v0)
+    m3 = -dot(r3, v0)
+
+    zeros = jnp.zeros((b * BLOCK,), v0.dtype)
+    if factor is None:
+        fac = zeros
+    else:
+        fac = jnp.pad(factor, (0, pad), constant_values=1.0) if pad else factor
+    comps = [
+        r1[:, 0], r1[:, 1], r1[:, 2], m1,
+        r2[:, 0], r2[:, 1], r2[:, 2], m2,
+        r3[:, 0], r3[:, 1], r3[:, 2], m3,
+        zeros, zeros, zeros, fac,
+    ]
+    packed = jnp.stack([c.reshape(b, BLOCK) for c in comps], axis=1)
+
+    # Bounding AABB per block over REAL (non-all-zero) triangles.  The
+    # half-extent form feeds the support-function cone test in
+    # cull_blocks — much tighter than a sphere for the flat "pancake"
+    # blocks a Morton-ordered surface mesh produces.
+    real = (
+        jnp.abs(v0).sum(-1) + jnp.abs(v1).sum(-1) + jnp.abs(v2).sum(-1)
+    ) > 0.0
+    big = jnp.asarray(1e30, v0.dtype)
+    vmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    vmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    vmin = jnp.where(real[:, None], vmin, big)
+    vmax = jnp.where(real[:, None], vmax, -big)
+    bmin = vmin.reshape(b, BLOCK, 3).min(axis=1)
+    bmax = vmax.reshape(b, BLOCK, 3).max(axis=1)
+    empty = bmax[:, 0] < bmin[:, 0]
+    centers = jnp.where(empty[:, None], big, 0.5 * (bmin + bmax))
+    half_extents = jnp.where(
+        empty[:, None], 0.0, 0.5 * (bmax - bmin) + 1e-5
     )
-    ok = (
-        jnp.arange(ls, dtype=jnp.int32) < count[..., None]
-    ) & cand_valid[..., None]
-    t = cand.shape[0]
-    flat = pid.reshape(t, -1)  # (T, P)
-    okf = ok.reshape(t, -1)
-    comps = tuple(
-        arr[flat][..., i]
-        for arr in (tris.v0, tris.v1, tris.v2)
-        for i in range(3)
+    return packed, centers, half_extents
+
+
+def _woop_t(o_t, d_t, w, t_min):
+    """Woop intersection, SoA broadcast form: rays (T, TR, 3) x packed
+    block rows w (T, 16, BLOCK) -> t (T, TR, BLOCK)."""
+    ox, oy, oz = o_t[..., 0:1], o_t[..., 1:2], o_t[..., 2:3]  # (T, TR, 1)
+    dx, dy, dz = d_t[..., 0:1], d_t[..., 1:2], d_t[..., 2:3]
+    r = lambda i: w[:, None, i, :]  # (T, 1, BLOCK)
+    opx = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
+    opy = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
+    opz = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
+    dpx = dx * r(0) + dy * r(1) + dz * r(2)
+    dpy = dx * r(4) + dy * r(5) + dz * r(6)
+    dpz = dx * r(8) + dy * r(9) + dz * r(10)
+    safe = jnp.abs(dpz) > 1e-12
+    inv = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, dpz, 1.0)
+    t = -opz * inv
+    u = opx + t * dpx
+    v = opy + t * dpy
+    valid = safe & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return jnp.where(valid & (t > t_min), t, T_FAR)
+
+
+def tri_blocks_closest(packed, o_t, d_t, cand, counts, t_min):
+    """XLA fallback closest hit: (T, TR) t and prim idx.
+
+    packed (B, 16, BLOCK) from block_pack; o_t/d_t (T, TR, 3);
+    cand (T, K) block ids (nearest-first prefix); counts (T,) number of
+    valid candidates per tile.
+    """
+    k_max = cand.shape[1]
+
+    def body(carry, k):
+        best_t, best_i = carry
+        blk = cand[:, k]  # (T,)
+        w = packed[blk]  # (T, 16, BLOCK)
+        t = _woop_t(o_t, d_t, w, t_min)  # (T, TR, BLOCK)
+        t = jnp.where((k < counts)[:, None, None], t, T_FAR)
+        c_min = jnp.min(t, axis=-1)  # (T, TR)
+        lane = jnp.argmin(t, axis=-1).astype(jnp.int32)
+        c_idx = blk[:, None] * BLOCK + lane
+        better = c_min < best_t
+        return (
+            jnp.where(better, c_min, best_t),
+            jnp.where(better, c_idx, best_i),
+        ), None
+
+    init = (
+        jnp.full(o_t.shape[:2], T_FAR, o_t.dtype),
+        jnp.full(o_t.shape[:2], -1, jnp.int32),
     )
-    return comps, flat, okf
+    (bt, bi), _ = jax.lax.scan(body, init, jnp.arange(k_max))
+    return bt, bi
 
 
-def _pad_candidates(cand, cand_valid, chunk):
-    maxc = cand.shape[1]
-    pad = (-maxc) % chunk
-    if pad:
-        cand = jnp.pad(cand, ((0, 0), (0, pad)))
-        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
-    return cand, cand_valid
+def tri_blocks_transmittance(packed, o_t, d_t, t_max_t, cand, counts, t_min):
+    """XLA fallback shadow transmittance: (T, TR) in [0, 1].
 
-
-def tri_tiles_closest(tris, bvh, o_t, d_t, cand, cand_valid, t_min):
-    """Closest hit per ray, per tile: (T, TR) t and (T, TR) prim idx.
-
-    o_t/d_t (T, TR, 3); cand/cand_valid (T, MAXC).
+    The per-primitive shadow factor rides in packed row 15 (see
+    block_pack); occluding primitives multiply their factor in
+    (reference: processShadows — transparent occluders attenuate).
     """
-    chunk = min(_LEAF_CHUNK, cand.shape[1])
-    cand, cand_valid = _pad_candidates(cand, cand_valid, chunk)
-    comps, flat, okf = _pregather(tris, bvh, cand, cand_valid)
-    pchunk = chunk * bvh.leaf_size  # prims per scan step
-    n_chunks = flat.shape[1] // pchunk
+    k_max = cand.shape[1]
 
-    def tile_fn(o, d, okf, flatids, *cs):
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # (TR, 1)
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    def body(trans, k):
+        blk = cand[:, k]
+        w = packed[blk]
+        t = _woop_t(o_t, d_t, w, t_min)
+        occ = (t < t_max_t[..., None]) & (k < counts)[:, None, None]
+        f = jnp.where(occ, w[:, None, 15, :], 1.0)
+        return trans * jnp.prod(f, axis=-1), None
 
-        def body(carry, k):
-            best_t, best_i = carry
-
-            def sl(a):
-                return jax.lax.dynamic_slice_in_dim(
-                    a, k * pchunk, pchunk, axis=0
-                )
-
-            t = isect.triangle_t_soa(
-                ox, oy, oz, dx, dy, dz,
-                *(sl(c)[None] for c in cs), t_min,
-            )  # (TR, pchunk) — full-lane SoA math
-            t = jnp.where(sl(okf)[None], t, T_FAR)
-            c_min = jnp.min(t, axis=-1)
-            c_arg = sl(flatids)[jnp.argmin(t, axis=-1)]
-            better = c_min < best_t
-            return (
-                jnp.where(better, c_min, best_t),
-                jnp.where(better, c_arg, best_i),
-            ), None
-
-        init = (
-            jnp.full(o.shape[0], T_FAR, o.dtype),
-            jnp.zeros(o.shape[0], jnp.int32),
-        )
-        (bt, bi), _ = jax.lax.scan(
-            body, init, jnp.arange(n_chunks, dtype=jnp.int32)
-        )
-        return bt, bi
-
-    return jax.vmap(tile_fn)(o_t, d_t, okf, flat, *comps)
-
-
-def tri_tiles_transmittance(
-    tris, bvh, o_t, d_t, t_max_t, cand, cand_valid, t_min, transparency
-):
-    """Shadow transmittance per ray per tile: (T, TR) in [0, 1].
-
-    transparency: (N_tris,) per-primitive shadow factor (already 1.0 for
-    emissive lamps — see scene_transmittance).
-    """
-    chunk = min(_LEAF_CHUNK, cand.shape[1])
-    cand, cand_valid = _pad_candidates(cand, cand_valid, chunk)
-    comps, flat, okf = _pregather(tris, bvh, cand, cand_valid)
-    ftrans = transparency[flat]  # (T, P)
-    pchunk = chunk * bvh.leaf_size
-    n_chunks = flat.shape[1] // pchunk
-
-    def tile_fn(o, d, t_max, okf, ftr, *cs):
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-
-        def body(trans, k):
-            def sl(a):
-                return jax.lax.dynamic_slice_in_dim(
-                    a, k * pchunk, pchunk, axis=0
-                )
-
-            t = isect.triangle_t_soa(
-                ox, oy, oz, dx, dy, dz,
-                *(sl(c)[None] for c in cs), t_min,
-            )
-            occludes = sl(okf)[None] & (t < t_max[:, None])
-            return trans * jnp.prod(
-                jnp.where(occludes, sl(ftr)[None], 1.0), axis=-1
-            ), None
-
-        trans, _ = jax.lax.scan(
-            body,
-            jnp.ones(o.shape[0], o.dtype),
-            jnp.arange(n_chunks, dtype=jnp.int32),
-        )
-        return trans
-
-    return jax.vmap(tile_fn)(o_t, d_t, t_max_t, okf, ftrans, *comps)
+    trans, _ = jax.lax.scan(
+        body, jnp.ones(o_t.shape[:2], o_t.dtype), jnp.arange(k_max)
+    )
+    return trans

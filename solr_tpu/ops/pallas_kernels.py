@@ -1,28 +1,34 @@
-"""Pallas TPU kernels for the packet-traversal hot path.
+"""Pallas TPU kernels for the block-packet traversal hot path.
 
-The XLA packet path (solr_tpu.ops.packet) must intersect every tile
-against a STATIC candidate cap (padded dense compute ~7x the median
-real work on terrain scenes, no early termination).  These kernels keep
-the same pregathered inputs but stream candidate chunks with
+Each tile's candidate triangle BLOCKs (ids produced by the dense
+cone-vs-block-AABB cull in solr_tpu.ops.packet) are DMA'd straight
+from the packed HBM array via BlockSpec index_maps that read the
+scalar-prefetched candidate ids — no XLA-side pregather exists at all.
+On top of that the kernels add
 
-  * dynamic work skipping — chunks beyond the tile's ACTUAL candidate
-    count (scalar-prefetched) are skipped with @pl.when;
+  * PAIR processing — each grid step fetches and intersects TWO
+    candidate blocks (two index_maps), halving per-step overhead,
+    which dominates at (1024, 256) tile sizes;
+  * dynamic work skipping — grid steps beyond the tile's ACTUAL
+    candidate count (scalar-prefetched) are skipped with @pl.when;
   * front-to-back early-out — candidates arrive nearest-first (packet
     sorts by cone-distance lower bound); once every ray's best hit is
-    closer than the next chunk's lower bound, remaining chunks are
+    closer than the next pair's lower bound, remaining steps are
     skipped (guard on an SMEM running max).
 
-Layout (all vector, no scalar loads — Mosaic cannot index VMEM lanes
-dynamically): rays live as (1024, 1) sublane vectors, each 128-prim
-chunk as (1, 128) lane vectors; the Moller-Trumbore chain runs on
-(1024, 128) outer-product tiles at full VPU width; reductions over the
+Layout (all vector, no dynamic VMEM lane indexing — Mosaic cannot index
+VMEM lanes dynamically): rays live as (1024, 1) sublane vectors; each
+candidate block is a (16, BLOCK) VMEM tile holding the 12 Woop
+transform rows (+ shadow factor row 15, see packet.block_pack).  The
+Woop ray-triangle chain runs as SIX (1024, 4) @ (4, BLOCK) MXU matmuls
+plus a ~16-op VPU epilogue on (1024, BLOCK) tiles; reductions over the
 lane (prim) axis fold into a per-tile running best that persists in the
-output block across the chunk grid axis (same index_map for every k —
-the standard TPU accumulation pattern).
+output block across the candidate grid axis (same index_map for every
+k — the standard TPU accumulation pattern).
 
 Reference lineage: replaces the per-thread skip-index walk of
 GeometryIntersections.cuh: intersectionWithPrimitives; correctness is
-pinned by tests against the XLA packet path in interpret mode.
+pinned by tests against the XLA block path in interpret mode.
 """
 
 from __future__ import annotations
@@ -35,36 +41,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from solr_tpu.constants import T_FAR
+from solr_tpu.ops.packet import BLOCK
 
-__all__ = ["tri_tiles_closest_pallas", "tri_tiles_transmittance_pallas"]
+__all__ = ["tri_blocks_closest_pallas", "tri_blocks_transmittance_pallas"]
 
 TILE_RAYS = 1024  # rays per tile: (1024, 1) sublane vector
-CHUNK = 256  # prims per grid step: 2 x 128-lane vectors (VMEM-bounded)
+PAIR = 2  # candidate blocks intersected per grid step
 
 _BIG_I = 2**31 - 1  # python int: jnp scalars would be captured consts
 
 
-def _woop_block(o4, d4, tri12, t_min):
-    """Woop unit-triangle intersection: (1024, 4) ray matrices x 12
-    per-triangle transform components (1, 128) -> (1024, 128) t.
+def _woop_block(o4, d4, w, t_min):
+    """Woop unit-triangle intersection: (1024, 4) homogeneous rays x a
+    packed (16, BLOCK) transform tile -> (1024, BLOCK) t.
 
     The affine world->unit-triangle transform turns per-pair geometry
-    into THREE (1024, 4) @ (4, 128) matmuls per origin/direction (MXU
-    work, ~free) plus a ~16-op VPU epilogue — ~4x fewer VPU ops than
-    Moller-Trumbore per pair.  Degenerate (padded) triangles have
-    all-zero rows -> d'z == 0 -> never hit.
+    into SIX (1024, 4) @ (4, BLOCK) matmuls (MXU work, ~free) plus a
+    ~16-op VPU epilogue.  Degenerate (padded) triangles have all-zero
+    rows -> d'z == 0 -> never hit.  Row 12 of ``w`` is all zeros — the
+    m-column for the direction transform.
     """
-    (r1x, r1y, r1z, m1, r2x, r2y, r2z, m2, r3x, r3y, r3z, m3) = tri12
-    zeros = jnp.zeros_like(m1)
-    t1 = jnp.concatenate([r1x, r1y, r1z, m1], axis=0)  # (4, 128)
-    t2 = jnp.concatenate([r2x, r2y, r2z, m2], axis=0)
-    t3 = jnp.concatenate([r3x, r3y, r3z, m3], axis=0)
-    td = jnp.concatenate([r1x, r1y, r1z, zeros], axis=0)
-    te = jnp.concatenate([r2x, r2y, r2z, zeros], axis=0)
-    tf = jnp.concatenate([r3x, r3y, r3z, zeros], axis=0)
+    t1 = w[0:4]  # (4, BLOCK): [r1x r1y r1z m1]
+    t2 = w[4:8]
+    t3 = w[8:12]
+    zrow = w[12:13]
+    td = jnp.concatenate([w[0:3], zrow], axis=0)
+    te = jnp.concatenate([w[4:7], zrow], axis=0)
+    tf = jnp.concatenate([w[8:11], zrow], axis=0)
 
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    opx = dot(o4, t1)  # (1024, 128) local-origin components
+    opx = dot(o4, t1)  # (1024, BLOCK) local-origin components
     opy = dot(o4, t2)
     opz = dot(o4, t3)
     dpx = dot(d4, td)
@@ -91,15 +97,10 @@ def _ray_mats(ox, oy, oz, dx, dy, dz):
     return o4, d4
 
 
-def _tri_comps(refs):
-    return tuple(r[0, 0] for r in refs)  # (1, 128)
-
-
 def _closest_kernel(
-    counts_ref, near_ref,  # scalar prefetch: (T,) i32, (T, NC) f32
+    counts_ref, cand_ref, near_ref,  # scalar prefetch: (T,), (T,K), (T,K)
     ox, oy, oz, dx, dy, dz,  # (1, 1024, 1) ray blocks
-    r1x, r1y, r1z, m1, r2x, r2y, r2z, m2, r3x, r3y, r3z, m3,  # woop chunks
-    pid,  # (1, 1, 1, 128) i32
+    wa_ref, wb_ref,  # (1, 16, BLOCK) packed Woop pair (DMA'd by index_map)
     bt_ref, bi_ref,  # (1, 1024, 1) outputs, persistent across k
     maxb_ref,  # SMEM (1,) f32: running max over rays of best_t
     *, t_min,
@@ -113,36 +114,40 @@ def _closest_kernel(
         bi_ref[...] = jnp.full((1, TILE_RAYS, 1), -1, jnp.int32)
         maxb_ref[0] = T_FAR
 
-    in_range = k * CHUNK < counts_ref[i]
-
-    @pl.when(in_range & (near_ref[i, k] < maxb_ref[0]))
-    def _():
+    def fold(w_ref, slot):
         o4, d4 = _ray_mats(ox, oy, oz, dx, dy, dz)
-        tri12 = _tri_comps(
-            (r1x, r1y, r1z, m1, r2x, r2y, r2z, m2, r3x, r3y, r3z, m3)
-        )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        ok = (k * CHUNK + lane) < counts_ref[i]  # (1, 128)
-        t = _woop_block(o4, d4, tri12, t_min)  # (1024, 128)
-        t = jnp.where(ok, t, T_FAR)
+        t = _woop_block(o4, d4, w_ref[0], t_min)  # (1024, BLOCK)
+        base = cand_ref[i, PAIR * k + slot] * BLOCK
+        pid = base + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
         c_min = jnp.min(t, axis=1, keepdims=True)  # (1024, 1)
         # idx of the winning lane: min over lanes of pid where t == min.
         c_idx = jnp.min(
-            jnp.where(t <= c_min, pid[0, 0], _BIG_I), axis=1, keepdims=True
+            jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
         )
         bt = bt_ref[0]  # (1024, 1)
         better = c_min < bt
-        bt = jnp.where(better, c_min, bt)
+        bt_ref[0] = jnp.where(better, c_min, bt)
         bi_ref[0] = jnp.where(better, c_idx, bi_ref[0])
-        bt_ref[0] = bt
-        maxb_ref[0] = jnp.max(bt)
+
+    alive = near_ref[i, PAIR * k] < maxb_ref[0]
+
+    @pl.when((PAIR * k < counts_ref[i]) & alive)
+    def _():
+        fold(wa_ref, 0)
+
+    @pl.when((PAIR * k + 1 < counts_ref[i]) & alive)
+    def _():
+        fold(wb_ref, 1)
+
+    @pl.when((PAIR * k < counts_ref[i]) & alive)
+    def _():
+        maxb_ref[0] = jnp.max(bt_ref[0])
 
 
 def _trans_kernel(
-    counts_ref, near_ref,
+    counts_ref, cand_ref, near_ref,
     ox, oy, oz, dx, dy, dz, tmax,  # rays (1, 1024, 1)
-    r1x, r1y, r1z, m1, r2x, r2y, r2z, m2, r3x, r3y, r3z, m3,
-    factor,  # (1, 1, 1, 128) f32 per-prim shadow factor
+    wa_ref, wb_ref,  # (1, 16, BLOCK); row 15 = per-prim shadow factor
     tr_ref,  # (1, 1024, 1) transmittance output
     live_ref,  # SMEM (1,) f32: max transmittance (0 => all shadowed)
     *, t_min,
@@ -155,99 +160,31 @@ def _trans_kernel(
         tr_ref[...] = jnp.ones((1, TILE_RAYS, 1), jnp.float32)
         live_ref[0] = 1.0
 
-    in_range = k * CHUNK < counts_ref[i]
-
-    @pl.when(in_range & (live_ref[0] > 1e-6))
-    def _():
+    def fold(w_ref):
         o4, d4 = _ray_mats(ox, oy, oz, dx, dy, dz)
-        tri12 = _tri_comps(
-            (r1x, r1y, r1z, m1, r2x, r2y, r2z, m2, r3x, r3y, r3z, m3)
-        )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        ok = (k * CHUNK + lane) < counts_ref[i]
-        t = _woop_block(o4, d4, tri12, t_min)
-        occ = ok & (t < tmax[0])  # (1024, 128)
-        f = jnp.where(occ, factor[0, 0], 1.0)
+        w = w_ref[0]
+        t = _woop_block(o4, d4, w, t_min)
+        occ = t < tmax[0]  # (1024, BLOCK)
+        f = jnp.where(occ, w[15:16], 1.0)
         # Lane product via exp(sum(log)): Mosaic has no reduce_prod
         # lowering on the TC kernel path.  Exact at the boundaries
         # (log(0) = -inf -> exp = 0; log(1) = 0) and f in [0, 1].
         logf = jnp.log(jnp.maximum(f, 0.0))
-        tr = tr_ref[0] * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
-        tr_ref[0] = tr
-        live_ref[0] = jnp.max(tr)
+        tr_ref[0] = tr_ref[0] * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
 
+    alive = live_ref[0] > 1e-6
 
-def _prep(tris, bvh, cand, cand_valid, near_sorted):
-    """Pregather + reshape candidate prims for the kernels.
+    @pl.when((PAIR * k < counts_ref[i]) & alive)
+    def _():
+        fold(wa_ref)
 
-    Returns (comps9, pid, counts, chunk_near, nc); padded/invalid prims
-    are degenerate (all-zero vertices -> det == 0 -> never hit).
-    """
-    ls = bvh.leaf_size
-    n = tris.v0.shape[0]
-    t_tiles, maxc = cand.shape
-    p = maxc * ls
-    nc = pl.cdiv(p, CHUNK)
-    p_pad = nc * CHUNK
+    @pl.when((PAIR * k + 1 < counts_ref[i]) & alive)
+    def _():
+        fold(wb_ref)
 
-    first = bvh.leaf_first[cand]
-    count = bvh.leaf_count[cand]
-    pid = jnp.clip(
-        first[..., None] + jnp.arange(ls, dtype=jnp.int32), 0, n - 1
-    )
-    ok = (
-        jnp.arange(ls, dtype=jnp.int32) < count[..., None]
-    ) & cand_valid[..., None]
-    flat = pid.reshape(t_tiles, -1)
-    okf = ok.reshape(t_tiles, -1)
-
-    def pad_reshape(a, fill=0):
-        if p_pad != p:
-            a = jnp.pad(a, ((0, 0), (0, p_pad - p)), constant_values=fill)
-        return a.reshape(t_tiles, nc, 1, CHUNK)
-
-    # Woop world->unit-triangle transform per candidate primitive: rows
-    # of [e1 e2 n]^-1 plus the -row.v0 offsets (12 floats/tri).  Invalid
-    # prims get all-zero rows -> the kernel's d'z == 0 -> no hit.
-    vc = [
-        jnp.where(okf, arr[flat][..., i], 0.0)
-        for arr in (tris.v0, tris.v1, tris.v2)
-        for i in range(3)
-    ]
-    ax_, ay_, az_, bx_, by_, bz_, cx_, cy_, cz_ = vc
-    e1x, e1y, e1z = bx_ - ax_, by_ - ay_, bz_ - az_
-    e2x, e2y, e2z = cx_ - ax_, cy_ - ay_, cz_ - az_
-    nx = e1y * e2z - e1z * e2y
-    ny = e1z * e2x - e1x * e2z
-    nz = e1x * e2y - e1y * e2x
-    den = nx * nx + ny * ny + nz * nz
-    inv = jnp.where(den > 1e-18, 1.0, 0.0) / jnp.where(den > 1e-18, den, 1.0)
-    r1x = (e2y * nz - e2z * ny) * inv
-    r1y = (e2z * nx - e2x * nz) * inv
-    r1z = (e2x * ny - e2y * nx) * inv
-    r2x = (ny * e1z - nz * e1y) * inv
-    r2y = (nz * e1x - nx * e1z) * inv
-    r2z = (nx * e1y - ny * e1x) * inv
-    r3x, r3y, r3z = nx * inv, ny * inv, nz * inv
-    m1 = -(r1x * ax_ + r1y * ay_ + r1z * az_)
-    m2 = -(r2x * ax_ + r2y * ay_ + r2z * az_)
-    m3 = -(r3x * ax_ + r3y * ay_ + r3z * az_)
-    comps = tuple(
-        pad_reshape(x)
-        for x in (r1x, r1y, r1z, m1, r2x, r2y, r2z, m2, r3x, r3y, r3z, m3)
-    )
-    pid_r = pad_reshape(flat)
-
-    # Per-tile prim counts: valid candidates are a top_k prefix, so
-    # count = n_valid * ls; intra-leaf padding is degenerate anyway.
-    counts = (cand_valid.sum(axis=-1) * ls).astype(jnp.int32)
-    # Chunk lower bounds: near of the chunk's first candidate leaf
-    # (candidates are sorted nearest-first).
-    cand_per_chunk = max(CHUNK // ls, 1)
-    starts = jnp.arange(nc, dtype=jnp.int32) * cand_per_chunk
-    starts = jnp.minimum(starts, maxc - 1)
-    chunk_near = near_sorted[:, starts]  # (T, NC)
-    return comps, pid_r, counts, chunk_near, nc, flat, okf, p_pad, p
+    @pl.when((PAIR * k < counts_ref[i]) & alive)
+    def _():
+        live_ref[0] = jnp.max(tr_ref[0])
 
 
 def _ray_blocks(o_t, d_t):
@@ -258,47 +195,63 @@ def _ray_blocks(o_t, d_t):
     )
 
 
-def _specs(nc):
-    ray_spec = pl.BlockSpec(
-        (1, TILE_RAYS, 1),
-        lambda i, k, *_: (i, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    chunk_spec = pl.BlockSpec(
-        (1, 1, 1, CHUNK),
-        lambda i, k, *_: (i, k, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_spec = pl.BlockSpec(
-        (1, TILE_RAYS, 1),
-        lambda i, k, *_: (i, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    return ray_spec, chunk_spec, out_spec
+def _pad_pair(cand, near_sorted):
+    """Pad the candidate axis to a multiple of PAIR."""
+    k = cand.shape[1]
+    pad = (-k) % PAIR
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)))
+        near_sorted = jnp.pad(near_sorted, ((0, 0), (0, pad)),
+                              constant_values=T_FAR)
+    return cand, near_sorted
 
 
-def tri_tiles_closest_pallas(
-    tris, bvh, o_t, d_t, cand, cand_valid, near_sorted, t_min,
+_ray_spec = pl.BlockSpec(
+    (1, TILE_RAYS, 1),
+    lambda i, k, *_: (i, 0, 0),
+    memory_space=pltpu.VMEM,
+)
+# THE trick: the packed Woop array stays in HBM; each grid step DMAs
+# only the tile's two next candidate blocks, addressed by the
+# prefetched candidate ids (scalar-prefetch operands come after the
+# grid indices in the index_map signature).
+_woop_spec_a = pl.BlockSpec(
+    (1, 16, BLOCK),
+    lambda i, k, counts, cand, near: (cand[i, PAIR * k], 0, 0),
+    memory_space=pltpu.VMEM,
+)
+_woop_spec_b = pl.BlockSpec(
+    (1, 16, BLOCK),
+    lambda i, k, counts, cand, near: (cand[i, PAIR * k + 1], 0, 0),
+    memory_space=pltpu.VMEM,
+)
+_out_spec = pl.BlockSpec(
+    (1, TILE_RAYS, 1),
+    lambda i, k, *_: (i, 0, 0),
+    memory_space=pltpu.VMEM,
+)
+
+
+def tri_blocks_closest_pallas(
+    packed, o_t, d_t, cand, counts, near_sorted, t_min,
     interpret: bool = False,
 ):
     """Pallas closest hit: (T, TR) t and prim idx.
 
-    o_t/d_t (T, 1024, 3); cand/cand_valid/near_sorted (T, MAXC) with
-    candidates sorted nearest-first.
+    packed (B, 16, BLOCK) from packet.block_pack; o_t/d_t (T, 1024, 3);
+    cand (T, K) nearest-first candidate block ids; counts (T,) valid
+    candidates; near_sorted (T, K) their distance lower bounds.
     """
     assert o_t.shape[1] == TILE_RAYS, "packet tile must be 1024 rays"
-    t_tiles = o_t.shape[0]
-    comps, pid_r, counts, chunk_near, nc, _, _, _, _ = _prep(
-        tris, bvh, cand, cand_valid, near_sorted
-    )
+    cand, near_sorted = _pad_pair(cand, near_sorted)
+    t_tiles, k_max = cand.shape
     rays = _ray_blocks(o_t, d_t)
-    ray_spec, chunk_spec, out_spec = _specs(nc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(t_tiles, nc),
-        in_specs=[ray_spec] * 6 + [chunk_spec] * 13,
-        out_specs=(out_spec, out_spec),
+        num_scalar_prefetch=3,
+        grid=(t_tiles, k_max // PAIR),
+        in_specs=[_ray_spec] * 6 + [_woop_spec_a, _woop_spec_b],
+        out_specs=(_out_spec, _out_spec),
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
     )
     bt, bi = pl.pallas_call(
@@ -309,36 +262,27 @@ def tri_tiles_closest_pallas(
             jax.ShapeDtypeStruct((t_tiles, TILE_RAYS, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(counts, chunk_near, *rays, *comps, pid_r)
+    )(counts, cand, near_sorted, *rays, packed, packed)
     bi = jnp.where(bi == _BIG_I, -1, bi)
     return bt.reshape(t_tiles, TILE_RAYS), bi.reshape(t_tiles, TILE_RAYS)
 
 
-def tri_tiles_transmittance_pallas(
-    tris, bvh, o_t, d_t, t_max_t, cand, cand_valid, near_sorted, t_min,
-    transparency,
+def tri_blocks_transmittance_pallas(
+    packed, o_t, d_t, t_max_t, cand, counts, near_sorted, t_min,
     interpret: bool = False,
 ):
     """Pallas shadow transmittance: (T, TR) in [0, 1]."""
     assert o_t.shape[1] == TILE_RAYS
-    t_tiles = o_t.shape[0]
-    comps, pid_r, counts, chunk_near, nc, flat, okf, p_pad, p = _prep(
-        tris, bvh, cand, cand_valid, near_sorted
-    )
-    f = jnp.where(okf, transparency[flat], 1.0)
-    if p_pad != p:
-        f = jnp.pad(f, ((0, 0), (0, p_pad - p)), constant_values=1.0)
-    f = f.reshape(t_tiles, nc, 1, CHUNK)
-
+    cand, near_sorted = _pad_pair(cand, near_sorted)
+    t_tiles, k_max = cand.shape
     rays = _ray_blocks(o_t, d_t)
     tmax = t_max_t.reshape(t_tiles, TILE_RAYS, 1)
-    ray_spec, chunk_spec, out_spec = _specs(nc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(t_tiles, nc),
-        in_specs=[ray_spec] * 7 + [chunk_spec] * 13,
-        out_specs=out_spec,
+        num_scalar_prefetch=3,
+        grid=(t_tiles, k_max // PAIR),
+        in_specs=[_ray_spec] * 7 + [_woop_spec_a, _woop_spec_b],
+        out_specs=_out_spec,
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
     )
     tr = pl.pallas_call(
@@ -348,5 +292,5 @@ def tri_tiles_transmittance_pallas(
             (t_tiles, TILE_RAYS, 1), jnp.float32
         ),
         interpret=interpret,
-    )(counts, chunk_near, *rays, tmax, *comps, f)
+    )(counts, cand, near_sorted, *rays, tmax, packed, packed)
     return tr.reshape(t_tiles, TILE_RAYS)

@@ -187,11 +187,7 @@ def render_sample(
     else:
         o, d = camera_rays(camera, cfg, key, dtype)
         spec = None
-        if (
-            scene.tri_bvh is not None
-            and scene.tri_bvh.leaf_center is not None
-            and cfg.use_bvh
-        ):
+        if scene.tri_bvh is not None and cfg.use_bvh:
             spec = cfg.packet_spec()
         if spec is not None:
             # Swizzle rays into spatially-coherent pixel tiles so packet

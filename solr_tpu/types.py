@@ -269,19 +269,19 @@ class RenderConfig:
     traversal: str = "auto"  # "auto" | "packet" | "while"
     packet_tile_w: int = 32  # pixel-tile width (packet mode)
     packet_tile_h: int = 32  # pixel-tile height
-    packet_max_leaves: int = 512  # per-tile candidate-leaf cap
+    packet_max_blocks: int = 64  # per-tile candidate cap, 128-tri blocks
 
     @property
     def packet_rays(self) -> int:
         return self.packet_tile_w * self.packet_tile_h
 
     def packet_spec(self):
-        """(tile_rays, max_leaves) when packet traversal applies."""
+        """(tile_rays, max_blocks) when packet traversal applies."""
         if self.traversal in ("auto", "packet") and (
             self.width % self.packet_tile_w == 0
             and self.height % self.packet_tile_h == 0
         ):
-            return (self.packet_rays, self.packet_max_leaves)
+            return (self.packet_rays, self.packet_max_blocks)
         return None
 
     @property

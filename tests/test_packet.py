@@ -55,23 +55,45 @@ class TestPacketMatchesWhile:
         np.testing.assert_allclose(img_p, img_w, atol=1e-6)
         np.testing.assert_allclose(t_p, t_w, rtol=1e-6)
 
-    def test_no_overflow_at_default_cap(self, tri_scene):
+    def test_no_overflow_at_default_cap(self):
+        """A surface mesh seen at non-grazing angles must fit the default
+        per-tile block cap; grazing/horizon tiles and volumetric soups may
+        overflow, which degrades gracefully (nearest blocks are kept)."""
         from solr_tpu.ops.camera import camera_rays
 
+        # Heightfield of ~31k tris = ~250 blocks.
+        gw = 125
+        xs = np.linspace(-8, 8, gw + 1, dtype=np.float32)
+        zs = np.linspace(2, 18, gw + 1, dtype=np.float32)
+        xg, zg = np.meshgrid(xs, zs)
+        yg = np.sin(xg) * np.cos(zg) - 2.0
+        verts = np.stack([xg, yg, zg], -1).reshape(-1, 3)
+        idx = np.arange((gw + 1) ** 2).reshape(gw + 1, gw + 1)
+        q00, q10 = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
+        q01, q11 = idx[1:, :-1].ravel(), idx[1:, 1:].ravel()
+        faces = np.concatenate([
+            np.stack([q00, q10, q11], -1), np.stack([q00, q11, q01], -1)
+        ])
+        b = st.SceneBuilder()
+        m = b.add_material(color=(0.5, 0.5, 0.5, 1.0))
+        b.add_mesh(verts, faces, m)
+        b.add_light((0, 5, 5))
+        scene = b.build(bvh_threshold=64)
         cfg = st.RenderConfig(width=64, height=64, packet_tile_w=16,
                               packet_tile_h=16)
-        o, d = camera_rays(CAM, cfg)
+        cam = st.Camera.create(position=(0.0, 8.0, 10.0),
+                               angles=(1.35, 0.0, 0.0), fov=1.0)
+        o, d = camera_rays(cam, cfg)
         perm, _ = pk.tile_permutation(64, 64, 16, 16)
         o_t = o[perm].reshape(-1, 256, 3)
         d_t = d[perm].reshape(-1, 256, 3)
-        bvh = tri_scene.tri_bvh
+        _, centers, half_ext = pk.block_pack(scene.triangles)
         po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask, _near = pk.cull_leaves(po, ro, axis, cos_g, bvh.leaf_center,
-                                     bvh.leaf_radius)
+        mask, _near = pk.cull_blocks(po, ro, axis, cos_g, centers, half_ext)
         counts = np.asarray(mask.sum(axis=-1))
-        assert counts.max() <= cfg.packet_max_leaves
+        assert counts.max() <= cfg.packet_max_blocks
         # The cull must actually cull (tight cones on primary rays).
-        assert counts.mean() < 0.6 * bvh.leaf_center.shape[0]
+        assert counts.mean() < 0.6 * centers.shape[0]
 
     def test_vs_oracle(self, tri_scene):
         cfg = st.RenderConfig(width=32, height=32, max_bounces=2,

@@ -1,4 +1,4 @@
-"""Pallas packet kernels vs the XLA packet path, in interpret mode
+"""Pallas block-packet kernels vs the XLA block path, in interpret mode
 (SURVEY.md section 5: interpret mode is the kernel "sanitizer" — the
 same kernel code compiled on TPU is exercised here on CPU)."""
 
@@ -12,8 +12,8 @@ from solr_tpu.ops import packet as pk
 from solr_tpu.ops.camera import camera_rays
 from solr_tpu.ops.pallas_kernels import (
     TILE_RAYS,
-    tri_tiles_closest_pallas,
-    tri_tiles_transmittance_pallas,
+    tri_blocks_closest_pallas,
+    tri_blocks_transmittance_pallas,
 )
 
 from scenes_fixtures import random_tri_field
@@ -24,31 +24,34 @@ CAM = st.Camera.create(position=(0, 0, -6.0), fov=1.0)
 @pytest.fixture(scope="module")
 def setup():
     scene = random_tri_field(1200).build(bvh_threshold=64)
-    bvh = scene.tri_bvh
     cfg = st.RenderConfig(width=64, height=64)
     o, d = camera_rays(CAM, cfg)
     perm, _ = pk.tile_permutation(64, 64, 32, 32)
     o_t = o[perm].reshape(-1, TILE_RAYS, 3)
     d_t = d[perm].reshape(-1, TILE_RAYS, 3)
-    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-    mask, near = pk.cull_leaves(
-        po, ro, axis, cos_g, bvh.leaf_center, bvh.leaf_radius
+    mats = scene.materials
+    tri_m = scene.triangles.material
+    factor = jnp.where(
+        mats.emission[tri_m] > 0.0, 1.0, mats.transparency[tri_m]
     )
-    cand, valid, ovf = pk.candidate_leaves(mask, 256, near)
+    packed, centers, half_ext = pk.block_pack(scene.triangles, factor)
+    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+    mask, near = pk.cull_blocks(po, ro, axis, cos_g, centers, half_ext)
+    cand, valid, ovf = pk.candidate_leaves(mask, 16, near)
     assert not bool(ovf)
+    counts = valid.sum(axis=-1).astype(jnp.int32)
     near_sorted = jnp.take_along_axis(near, cand, axis=-1)
-    return scene, bvh, o_t, d_t, cand, valid, near_sorted
+    return packed, o_t, d_t, cand, counts, near_sorted
 
 
 class TestClosest:
     def test_matches_xla_packet(self, setup):
-        scene, bvh, o_t, d_t, cand, valid, near_sorted = setup
-        t_x, i_x = pk.tri_tiles_closest(
-            scene.triangles, bvh, o_t, d_t, cand, valid, 1e-4
-        )
-        t_p, i_p = tri_tiles_closest_pallas(
-            scene.triangles, bvh, o_t, d_t, cand, valid, near_sorted,
-            1e-4, interpret=True,
+        packed, o_t, d_t, cand, counts, near_sorted = setup
+        t_x, i_x = pk.tri_blocks_closest(packed, o_t, d_t, cand, counts,
+                                         1e-4)
+        t_p, i_p = tri_blocks_closest_pallas(
+            packed, o_t, d_t, cand, counts, near_sorted, 1e-4,
+            interpret=True,
         )
         np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x),
                                    rtol=1e-6)
@@ -60,13 +63,13 @@ class TestClosest:
     def test_early_out_does_not_change_result(self, setup):
         """Early termination must be conservative: compare against a
         run where the near bounds are all zero (no skipping)."""
-        scene, bvh, o_t, d_t, cand, valid, near_sorted = setup
-        t_e, i_e = tri_tiles_closest_pallas(
-            scene.triangles, bvh, o_t, d_t, cand, valid, near_sorted,
-            1e-4, interpret=True,
+        packed, o_t, d_t, cand, counts, near_sorted = setup
+        t_e, _ = tri_blocks_closest_pallas(
+            packed, o_t, d_t, cand, counts, near_sorted, 1e-4,
+            interpret=True,
         )
-        t_n, i_n = tri_tiles_closest_pallas(
-            scene.triangles, bvh, o_t, d_t, cand, valid,
+        t_n, _ = tri_blocks_closest_pallas(
+            packed, o_t, d_t, cand, counts,
             jnp.zeros_like(near_sorted), 1e-4, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(t_e), np.asarray(t_n),
@@ -75,20 +78,14 @@ class TestClosest:
 
 class TestTransmittance:
     def test_matches_xla_packet(self, setup):
-        scene, bvh, o_t, d_t, cand, valid, near_sorted = setup
-        mats = scene.materials
-        tri_m = scene.triangles.material
-        factor = jnp.where(
-            mats.emission[tri_m] > 0.0, 1.0, mats.transparency[tri_m]
-        )
+        packed, o_t, d_t, cand, counts, near_sorted = setup
         t_max = jnp.full(o_t.shape[:2], 50.0, jnp.float32)
-        tr_x = pk.tri_tiles_transmittance(
-            scene.triangles, bvh, o_t, d_t, t_max, cand, valid, 1e-4,
-            factor,
+        tr_x = pk.tri_blocks_transmittance(
+            packed, o_t, d_t, t_max, cand, counts, 1e-4
         )
-        tr_p = tri_tiles_transmittance_pallas(
-            scene.triangles, bvh, o_t, d_t, t_max, cand, valid,
-            near_sorted, 1e-4, factor, interpret=True,
+        tr_p = tri_blocks_transmittance_pallas(
+            packed, o_t, d_t, t_max, cand, counts, near_sorted, 1e-4,
+            interpret=True,
         )
         np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_x),
                                    rtol=1e-6)
