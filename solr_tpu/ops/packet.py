@@ -51,6 +51,7 @@ __all__ = [
     "BLOCK",
     "make_bundles",
     "cull_leaves",
+    "cull_blocks",
     "candidate_leaves",
     "block_pack",
     "tri_blocks_closest",

@@ -36,6 +36,33 @@ __all__ = ["render", "render_sample", "trace_rays", "background_color",
 
 _MIN_THROUGHPUT = 1e-3
 
+# Dead-ray parking spot: far outside any scene, pointing away from the
+# origin region, so packet bundles of parked rays cull to ZERO candidate
+# blocks and retired tiles cost almost nothing (solr_tpu.ops.packet).
+_PARK_POS = 1.0e8
+_PARK_DIR = 0.5773502691896258  # 1/sqrt(3), per component
+
+
+def _compact_perm(live):
+    """Stable live-first compaction permutation.
+
+    Returns (perm, target): ``x[perm]`` packs live rays to the front
+    (original tile-major order preserved within each class, keeping
+    packet coherence), ``y[target]`` undoes it.  The TPU-native
+    replacement for the wavefront ray-compaction pass (SURVEY.md
+    section 7 M3): cumsum + one scatter, no sort.
+    """
+    li = live.astype(jnp.int32)
+    n_live = jnp.sum(li)
+    pos_live = jnp.cumsum(li) - 1
+    pos_dead = n_live + jnp.cumsum(1 - li) - 1
+    target = jnp.where(live, pos_live, pos_dead).astype(jnp.int32)
+    r = live.shape[0]
+    perm = jnp.zeros((r,), jnp.int32).at[target].set(
+        jnp.arange(r, dtype=jnp.int32)
+    )
+    return perm, target
+
 
 def background_color(scene: Scene, cfg: RenderConfig, d):
     """Miss radiance (reference: the background/skybox branch of
@@ -76,6 +103,20 @@ def trace_rays(
 
     def bounce(carry, bounce_key):
         o, d, thru, color, live, dist0 = carry
+        if packet is not None and cfg.compact_rays:
+            # Wavefront compaction: pack live rays into leading tiles and
+            # park dead ones where the cull rejects every block, so
+            # retired tiles skip traversal entirely.
+            perm, target = _compact_perm(jax.lax.stop_gradient(live))
+            o, d, thru, color, live, dist0 = (
+                o[perm], d[perm], thru[perm], color[perm], live[perm],
+                dist0[perm],
+            )
+            park = ~live[..., None]
+            o = jnp.where(park, _PARK_POS, o)
+            d = jnp.where(park, _PARK_DIR, d)
+        else:
+            target = None
         hit = scene_closest_hit(scene, o, d, use_bvh=cfg.use_bvh,
                                 packet=packet)
         valid = hit.valid & live
@@ -135,7 +176,12 @@ def trace_rays(
 
         o = jnp.where(live[..., None], no, o)
         d = jnp.where(live[..., None], nd, d)
-        return (o, d, thru, color, live, total_d), hit.t
+        out = (o, d, thru, color, live, total_d)
+        t_out = hit.t
+        if target is not None:  # undo the compaction permutation
+            out = tuple(x[target] for x in out)
+            t_out = t_out[target]
+        return out, t_out
 
     if key is not None:
         keys = jax.random.split(key, cfg.max_bounces)

@@ -108,11 +108,21 @@ def phong_shade(
 
             if cfg.shadows:
                 origin = p + surf.normal * (RAY_EPS * 4.0)
+                origin = jnp.broadcast_to(origin[:, None, :], ldir.shape)
+                sdir = ldir
+                t_max = dist - RAY_EPS
+                # Park shadow rays of miss/retired lanes far away pointing
+                # out of the scene so packet tiles of dead rays cull to
+                # zero candidate blocks (see render._PARK_POS).
+                invalid = ~surf.valid[:, None, None]
+                origin = jnp.where(invalid, 1.0e8, origin)
+                sdir = jnp.where(invalid, 0.5773502691896258, sdir)
+                t_max = jnp.where(invalid[..., 0], 1.0, t_max)
                 trans = scene_transmittance(
                     scene,
-                    jnp.broadcast_to(origin[:, None, :], ldir.shape),
-                    ldir,
-                    t_max=dist - RAY_EPS,
+                    origin,
+                    sdir,
+                    t_max=t_max,
                     use_bvh=cfg.use_bvh,
                     packet=packet,
                 )  # (R, L)

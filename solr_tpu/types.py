@@ -260,6 +260,7 @@ class RenderConfig:
     sky_texture: int = -1  # texture id for spherical skybox, -1 = none
     fog: bool = False
     antialias_jitter: bool = False  # sub-pixel jitter (progressive AA)
+    compact_rays: bool = True  # wavefront compaction between bounces
     postfx: PostFxConfig = PostFxConfig()
     use_bvh: bool = True
     ray_block: int = 1024  # rays per Pallas block
