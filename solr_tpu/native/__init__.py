@@ -1,0 +1,146 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+The reference's host-side runtime — scene-array management and the
+acceleration-structure build (solr/engines/GPUKernel.cpp: compactBoxes)
+— is C++.  This package holds the framework's native equivalents:
+
+* ``lbvh.cc`` — Morton-ordered median-split LBVH builder with skip
+  ("rope") pointers, the hot host-side path when scenes mutate.
+
+The library is compiled on demand with ``g++ -O3`` into a per-user cache
+directory and loaded with ctypes (no pybind11 in this environment).  All
+entry points degrade gracefully: callers fall back to the pure-NumPy
+builders in :mod:`solr_tpu.ops.bvh` when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["load_library", "native_available", "lbvh_build", "triangle_aabbs"]
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src", "lbvh.cc")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LOAD_FAILED = False
+
+
+def _cache_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    root = os.environ.get(
+        "SOLR_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), f"solr_tpu_native_{os.getuid()}"),
+    )
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"lbvh_{digest}.so")
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and load the native library; None on failure."""
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _LOAD_FAILED:
+            return _LIB
+        try:
+            so = _cache_path()
+            if not os.path.exists(so):
+                tmp = so + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                     "-fPIC", _SRC, "-o", tmp],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so)  # atomic vs concurrent builders
+            lib = ctypes.CDLL(so)
+            lib.solr_lbvh_build.restype = ctypes.c_int64
+            lib.solr_lbvh_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.solr_triangle_aabbs.restype = None
+            lib.solr_triangle_aabbs.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            _LIB = lib
+        except Exception:
+            _LOAD_FAILED = True
+    return _LIB
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def _c_f32(a: np.ndarray) -> ctypes.c_void_p:
+    return ctypes.c_void_p(a.ctypes.data)
+
+
+def lbvh_build(
+    aabb_min: np.ndarray, aabb_max: np.ndarray, leaf_size: int
+) -> Optional[Tuple[np.ndarray, ...]]:
+    """Native LBVH build.
+
+    Returns (order, starts, ends, skips, depths, nmin, nmax) — the same
+    intermediates the NumPy path in :func:`solr_tpu.ops.bvh.build_bvh`
+    computes — or None when the native library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    amin = np.ascontiguousarray(aabb_min, np.float32)
+    amax = np.ascontiguousarray(aabb_max, np.float32)
+    n = amin.shape[0]
+    # Median splitting halves ranges exactly, so leaves number at most
+    # 2*ceil(n/leaf_size) and nodes at most twice that.
+    cap = 4 * ((n + leaf_size - 1) // leaf_size) + 8
+    order = np.empty(n, np.int32)
+    starts = np.empty(cap, np.int32)
+    ends = np.empty(cap, np.int32)
+    skips = np.empty(cap, np.int32)
+    depths = np.empty(cap, np.int32)
+    nmin = np.empty((cap, 3), np.float32)
+    nmax = np.empty((cap, 3), np.float32)
+    k = lib.solr_lbvh_build(
+        _c_f32(amin), _c_f32(amax), n, leaf_size, _c_f32(order),
+        _c_f32(starts), _c_f32(ends), _c_f32(skips), _c_f32(depths),
+        _c_f32(nmin), _c_f32(nmax), cap,
+    )
+    if k <= 0:
+        return None  # capacity or argument failure: let NumPy handle it
+    return (
+        order, starts[:k], ends[:k], skips[:k], depths[:k],
+        nmin[:k], nmax[:k],
+    )
+
+
+def triangle_aabbs(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native per-triangle AABBs; None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    n = v0.shape[0]
+    out_min = np.empty((n, 3), np.float32)
+    out_max = np.empty((n, 3), np.float32)
+    lib.solr_triangle_aabbs(
+        _c_f32(v0), _c_f32(v1), _c_f32(v2), n, _c_f32(out_min), _c_f32(out_max)
+    )
+    return out_min, out_max

@@ -72,12 +72,15 @@ def build_bvh(
     aabb_min: np.ndarray,
     aabb_max: np.ndarray,
     leaf_size: int = BVH_LEAF_SIZE,
+    backend: str = "auto",
 ) -> Tuple[BVH, np.ndarray]:
     """Build a median-split LBVH over primitives given their AABBs.
 
     Args:
       aabb_min/aabb_max: (N, 3) float — per-primitive bounds.
       leaf_size: max primitives per leaf.
+      backend: "auto" (native C++ builder when compilable, else NumPy),
+        "native" (require solr_tpu.native), or "numpy".
     Returns:
       (bvh, order): the flattened BVH (jnp arrays) and the permutation
       ``order`` such that leaf ``first_prim..first_prim+count`` ranges
@@ -88,6 +91,22 @@ def build_bvh(
     n = aabb_min.shape[0]
     if n == 0:
         raise ValueError("cannot build a BVH over 0 primitives")
+
+    if backend in ("auto", "native"):
+        from solr_tpu import native
+
+        built = native.lbvh_build(aabb_min, aabb_max, leaf_size)
+        if built is not None:
+            order, starts_a, ends_a, skips_a, depths_a, nmin, nmax = built
+            return (
+                _assemble_bvh(
+                    starts_a, ends_a, skips_a, depths_a, nmin, nmax, leaf_size
+                ),
+                order,
+            )
+        if backend == "native":
+            raise RuntimeError("native LBVH builder unavailable (no g++?)")
+
     centroids = 0.5 * (aabb_min + aabb_max)
     order = np.argsort(morton_codes(centroids), kind="stable").astype(np.int32)
     smin = aabb_min[order]
@@ -145,6 +164,21 @@ def build_bvh(
             nmax[i] = np.maximum(nmax[left], nmax[right])
     nmin -= _AABB_PAD
     nmax += _AABB_PAD
+    return (
+        _assemble_bvh(starts_a, ends_a, skips_a, depths_a, nmin, nmax,
+                      leaf_size),
+        order,
+    )
+
+
+def _assemble_bvh(
+    starts_a, ends_a, skips_a, depths_a, nmin, nmax, leaf_size: int
+) -> BVH:
+    """Assemble the BVH pytree from flattened-node intermediates (shared
+    by the NumPy and native-C++ build paths)."""
+    counts = ends_a - starts_a
+    is_leaf = counts <= leaf_size
+    leaf_ids = np.nonzero(is_leaf)[0]
 
     # Leaf-only view for packet culling, padded to a multiple of 128
     # lanes with inert count-0 entries parked far away.
@@ -164,7 +198,7 @@ def build_bvh(
         [lcount, np.zeros(lpad - n_leaves, np.int32)]
     ).astype(np.int32)
 
-    bvh = BVH(
+    return BVH(
         aabb_min=jnp.asarray(nmin),
         aabb_max=jnp.asarray(nmax),
         skip=jnp.asarray(skips_a),
@@ -178,7 +212,6 @@ def build_bvh(
         max_depth=int(depths_a.max()),
         leaf_size=int(leaf_size),
     )
-    return bvh, order
 
 
 def pool_aabbs(scene, pool_code: int) -> Tuple[np.ndarray, np.ndarray]:
