@@ -83,11 +83,14 @@ def build_scene():
     cam = st.Camera.create(
         position=(0.0, 2.0, -4.0), angles=(0.25, 0.0, 0.0), fov=1.0
     )
-    from solr_tpu.ops.packet import BLOCK
-
-    cfg = st.RenderConfig(width=WIDTH, height=HEIGHT, max_bounces=BOUNCES,
-                          gradient_background=True,
-                          packet_max_blocks=max(12288 // BLOCK, 8))
+    cfg = st.RenderConfig(
+        width=WIDTH, height=HEIGHT, max_bounces=BOUNCES,
+        gradient_background=True,
+        packet_tile_w=int(os.environ.get("SOLR_BENCH_TILE_W", 16)),
+        packet_tile_h=int(os.environ.get("SOLR_BENCH_TILE_H", 16)),
+        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 16)),
+        packet_max_super=int(os.environ.get("SOLR_BENCH_M", 12)),
+    )
     return scene, cam, cfg
 
 

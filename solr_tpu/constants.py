@@ -32,3 +32,12 @@ DEFAULT_MATERIAL = 0
 
 # Far value used as "no hit" sentinel.
 T_FAR = 3.0e38
+
+# Dead-ray parking spot: far outside any scene so packet bundles of
+# parked rays cull to ZERO candidate blocks and retired tiles cost
+# almost nothing (solr_tpu.ops.render / ops.packet).  Any ray whose
+# origin x exceeds PARK_THRESHOLD is treated as parked by the packet
+# cull's live-mask detection.
+PARK_POS = 1.0e8
+PARK_DIR = 0.5773502691896258  # 1/sqrt(3), per component
+PARK_THRESHOLD = 1.0e7

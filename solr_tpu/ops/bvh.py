@@ -330,13 +330,18 @@ def _pool_size(scene, pool_code: int) -> int:
     }[pool_code]
 
 
-def bvh_closest_hit(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max):
+def bvh_closest_hit(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max,
+                    active=None):
     """Closest hit within one BVH-accelerated pool.
 
     Stackless skip-pointer walk (reference: the box loop in
     intersectionWithPrimitives), vectorized over rays: every ray carries
     its own node pointer; each step gathers that node, slab-tests it, and
     — when it is a hit leaf — tests its LEAF_SIZE-wide primitive range.
+
+    ``active`` (R,) bool: rays to walk; inactive rays start with an
+    exhausted pointer, so an all-inactive call costs one while_loop
+    condition check (the packet path's exactness-net usage).
     """
     k = bvh.n_nodes
     leaf_size = bvh.leaf_size
@@ -377,8 +382,11 @@ def bvh_closest_hit(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max):
         ptr = jnp.where(alive, nxt, ptr)
         return ptr, best_t, best_i
 
+    ptr0 = jnp.zeros(r_shape, jnp.int32)
+    if active is not None:
+        ptr0 = jnp.where(active, 0, k)
     init = (
-        jnp.zeros(r_shape, jnp.int32),
+        ptr0,
         jnp.full(r_shape, T_FAR, o.dtype),
         jnp.zeros(r_shape, jnp.int32),
     )
@@ -386,10 +394,13 @@ def bvh_closest_hit(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max):
     return best_t, best_i
 
 
-def bvh_transmittance(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max):
+def bvh_transmittance(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max,
+                      active=None):
     """Shadow transmittance through one pool: product over every occluder
     in (t_min, t_max) of its material transparency (reference:
-    processShadows' transparent-attenuation semantics)."""
+    processShadows' transparent-attenuation semantics).
+
+    ``active``: as in :func:`bvh_closest_hit`."""
     from solr_tpu.ops.traverse import _pool_material
 
     k = bvh.n_nodes
@@ -438,6 +449,9 @@ def bvh_transmittance(scene, bvh: BVH, pool_code: int, o, d, t_min, t_max):
         ptr = jnp.where(alive, nxt, ptr)
         return ptr, trans
 
-    init = (jnp.zeros(r_shape, jnp.int32), jnp.ones(r_shape, o.dtype))
+    ptr0 = jnp.zeros(r_shape, jnp.int32)
+    if active is not None:
+        ptr0 = jnp.where(active, 0, k)
+    init = (ptr0, jnp.ones(r_shape, o.dtype))
     _, trans = jax.lax.while_loop(cond, body, init)
     return trans

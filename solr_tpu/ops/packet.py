@@ -49,11 +49,18 @@ from solr_tpu.ops.vecmath import cross, dot, normalize
 
 __all__ = [
     "BLOCK",
+    "SUPER",
     "make_bundles",
+    "capsule_bundles",
     "cull_leaves",
     "cull_blocks",
+    "cull_blocks_g",
+    "cull_capsule",
+    "cull_capsule_g",
     "candidate_leaves",
+    "two_level_select",
     "block_pack",
+    "build_tri_accel",
     "tri_blocks_closest",
     "tri_blocks_transmittance",
     "tile_permutation",
@@ -67,6 +74,14 @@ __all__ = [
 import os as _os
 
 BLOCK = int(_os.environ.get("SOLR_PACKET_BLOCK", "256"))
+
+# Blocks per super-block: the coarse level of the two-level cull.  The
+# L1 (bundle vs super-block) pass shrinks the dense cull matrix by this
+# factor; 32 keeps the super-block count ~N/8192, so at 1M tris the L1
+# matrix is (sub-bundles x ~128) — one vector op.
+SUPER = int(_os.environ.get("SOLR_PACKET_SUPER", "32"))
+
+_BIG = 1.0e30
 
 
 def tile_permutation(width: int, height: int, tile_w: int, tile_h: int):
@@ -88,29 +103,90 @@ def tile_permutation(width: int, height: int, tile_w: int, tile_h: int):
     return perm, inv
 
 
-def make_bundles(o_t, d_t):
+def _masked_mean(x, live, n_live):
+    """Mean over live lanes of (T, TR); n_live (T,) pre-counted."""
+    denom = jnp.maximum(n_live, 1.0)
+    return jnp.sum(jnp.where(live, x, 0.0), axis=1) / denom
+
+
+def make_bundles(o_t, d_t, live=None):
     """Per-tile bundle: origin sphere (po, ro) + direction cone (axis,
     cos_half_angle).  o_t/d_t: (T, TR, 3).
+
+    ``live`` (T, TR) bool: parked/retired rays (see render._PARK_POS) are
+    excluded from the bundle statistics, so one mixed live/parked tile
+    does not blow its origin sphere up to the parking distance.  A fully
+    dead tile degenerates to a point bundle at the parking spot, which
+    every cull rejects.
 
     SoA component math: reductions run on (T, TR) full-lane shapes —
     the (T, TR, 3) minor-dim-3 form wastes 125 of 128 vector lanes.
     """
     ox, oy, oz = o_t[..., 0], o_t[..., 1], o_t[..., 2]  # (T, TR)
     dx, dy, dz = d_t[..., 0], d_t[..., 1], d_t[..., 2]
-    px, py, pz = ox.mean(axis=1), oy.mean(axis=1), oz.mean(axis=1)  # (T,)
+    if live is None:
+        live = jnp.ones(ox.shape, bool)
+    n_live = jnp.sum(live.astype(o_t.dtype), axis=1)  # (T,)
+    px = _masked_mean(ox, live, n_live)
+    py = _masked_mean(oy, live, n_live)
+    pz = _masked_mean(oz, live, n_live)
     rx, ry, rz = ox - px[:, None], oy - py[:, None], oz - pz[:, None]
-    ro = jnp.sqrt(jnp.max(rx * rx + ry * ry + rz * rz, axis=1))
-    ax, ay, az = dx.mean(axis=1), dy.mean(axis=1), dz.mean(axis=1)
+    r2 = jnp.where(live, rx * rx + ry * ry + rz * rz, 0.0)
+    ro = jnp.sqrt(jnp.max(r2, axis=1))
+    ax = _masked_mean(dx, live, n_live)
+    ay = _masked_mean(dy, live, n_live)
+    az = _masked_mean(dz, live, n_live)
     an = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-12))
     ax, ay, az = ax / an, ay / an, az / an
-    cos_g = jnp.min(
-        dx * ax[:, None] + dy * ay[:, None] + dz * az[:, None], axis=1
-    )
+    cosv = dx * ax[:, None] + dy * ay[:, None] + dz * az[:, None]
+    cos_g = jnp.min(jnp.where(live, cosv, 1.0), axis=1)
     # Fully incoherent tile -> half-angle >= 90deg: accept everything.
     cos_g = jnp.clip(cos_g, -1.0, 1.0)
     po = jnp.stack([px, py, pz], axis=-1)
     axis = jnp.stack([ax, ay, az], axis=-1)
     return po, ro, axis, cos_g
+
+
+def capsule_bundles(o_t, d_t, tmax_t, live=None):
+    """Per-tile SEGMENT bundle for shadow rays: origin sphere (po, ro)
+    plus endpoint sphere (pa, ra) around the per-ray segment ends
+    ``o + d * t_max`` (all segments point at the same light, so the
+    endpoint sphere is tiny — zero for hard shadows, the jitter radius
+    for soft shadows).  The union of the segments is contained in the
+    convex hull of the two spheres, giving a far tighter cull than the
+    direction cone for the incoherent shadow bundles a rough surface
+    produces (VERDICT round 1: the `~narrow` accept-all collapse).
+    """
+    ex = o_t[..., 0] + d_t[..., 0] * tmax_t  # (T, TR) segment endpoints
+    ey = o_t[..., 1] + d_t[..., 1] * tmax_t
+    ez = o_t[..., 2] + d_t[..., 2] * tmax_t
+    ox, oy, oz = o_t[..., 0], o_t[..., 1], o_t[..., 2]
+    if live is None:
+        live = jnp.ones(ox.shape, bool)
+    n_live = jnp.sum(live.astype(o_t.dtype), axis=1)
+    px = _masked_mean(ox, live, n_live)
+    py = _masked_mean(oy, live, n_live)
+    pz = _masked_mean(oz, live, n_live)
+    r2 = jnp.where(
+        live,
+        (ox - px[:, None]) ** 2 + (oy - py[:, None]) ** 2
+        + (oz - pz[:, None]) ** 2,
+        0.0,
+    )
+    ro = jnp.sqrt(jnp.max(r2, axis=1))
+    qx = _masked_mean(ex, live, n_live)
+    qy = _masked_mean(ey, live, n_live)
+    qz = _masked_mean(ez, live, n_live)
+    a2 = jnp.where(
+        live,
+        (ex - qx[:, None]) ** 2 + (ey - qy[:, None]) ** 2
+        + (ez - qz[:, None]) ** 2,
+        0.0,
+    )
+    ra = jnp.sqrt(jnp.max(a2, axis=1))
+    po = jnp.stack([px, py, pz], axis=-1)
+    pa = jnp.stack([qx, qy, qz], axis=-1)
+    return po, ro, pa, ra
 
 
 def cull_leaves(po, ro, axis, cos_g, centers, radii):
@@ -189,6 +265,19 @@ def cull_blocks(po, ro, axis, cos_g, centers, half_extents):
         half_extents[:, 1][None],
         half_extents[:, 2][None],
     )
+    return _cone_core(po, ro, axis, cos_g, cx, cy, cz, hx, hy, hz)
+
+
+def cull_blocks_g(po, ro, axis, cos_g, bounds_g):
+    """Grouped variant of :func:`cull_blocks`: per-bundle candidate boxes
+    ``bounds_g`` (T, J, 8) rows [cx cy cz hx hy hz _ _] (the gathered
+    children of each bundle's surviving super-blocks)."""
+    cx, cy, cz = bounds_g[..., 0], bounds_g[..., 1], bounds_g[..., 2]
+    hx, hy, hz = bounds_g[..., 3], bounds_g[..., 4], bounds_g[..., 5]
+    return _cone_core(po, ro, axis, cos_g, cx, cy, cz, hx, hy, hz)
+
+
+def _cone_core(po, ro, axis, cos_g, cx, cy, cz, hx, hy, hz):
     vx = cx - po[:, 0][:, None]  # (T, B)
     vy = cy - po[:, 1][:, None]
     vz = cz - po[:, 2][:, None]
@@ -223,6 +312,58 @@ def cull_blocks(po, ro, axis, cos_g, centers, half_extents):
     # mean-axis 'ahead'/angular tests are meaningless — accept all.
     mask = ~narrow | near_sphere_hit | (ahead & ang_ok)
     near = jnp.maximum(jnp.sqrt(d2) - h_norm - rr, 0.0)
+    return mask, near
+
+
+def cull_capsule(po, ro, pa, ra, centers, half_extents):
+    """(T, B) conservative segment-bundle vs AABB test (shared boxes).
+
+    The bundle is the convex hull of spheres (po, ro) and (pa, ra) — see
+    :func:`capsule_bundles`.  A box can occlude only if its center's
+    distance to the segment [po, pa] is within the box support radius
+    plus max(ro, ra).  ``near`` = that slack, a lower bound on any
+    bundle ray's hit distance inside the box (ordering only).
+    """
+    cx, cy, cz = centers[:, 0][None], centers[:, 1][None], centers[:, 2][None]
+    hx, hy, hz = (
+        half_extents[:, 0][None],
+        half_extents[:, 1][None],
+        half_extents[:, 2][None],
+    )
+    return _capsule_core(po, ro, pa, ra, cx, cy, cz, hx, hy, hz)
+
+
+def cull_capsule_g(po, ro, pa, ra, bounds_g):
+    """Grouped variant of :func:`cull_capsule` (bounds_g (T, J, 8))."""
+    cx, cy, cz = bounds_g[..., 0], bounds_g[..., 1], bounds_g[..., 2]
+    hx, hy, hz = bounds_g[..., 3], bounds_g[..., 4], bounds_g[..., 5]
+    return _capsule_core(po, ro, pa, ra, cx, cy, cz, hx, hy, hz)
+
+
+def _capsule_core(po, ro, pa, ra, cx, cy, cz, hx, hy, hz):
+    ux = pa[:, 0] - po[:, 0]  # (T,)
+    uy = pa[:, 1] - po[:, 1]
+    uz = pa[:, 2] - po[:, 2]
+    ln = jnp.sqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-12))
+    ux, uy, uz = ux / ln, uy / ln, uz / ln
+    vx = cx - po[:, 0][:, None]  # (T, B)
+    vy = cy - po[:, 1][:, None]
+    vz = cz - po[:, 2][:, None]
+    t_c = vx * ux[:, None] + vy * uy[:, None] + vz * uz[:, None]
+    s = jnp.clip(t_c, 0.0, ln[:, None])
+    wx = vx - s * ux[:, None]
+    wy = vy - s * uy[:, None]
+    wz = vz - s * uz[:, None]
+    d2 = wx * wx + wy * wy + wz * wz
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    inv_d = jnp.where(d > 1e-6, 1.0, 0.0) / jnp.where(d > 1e-6, d, 1.0)
+    support = (hx * jnp.abs(wx) + hy * jnp.abs(wy) + hz * jnp.abs(wz)) * inv_d
+    h_norm = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+    support = jnp.where(d > 1e-6, support, h_norm)
+    rmax = jnp.maximum(ro, ra)[:, None]
+    slack = d - support - rmax
+    mask = slack <= 1e-5
+    near = jnp.maximum(slack, 0.0)
     return mask, near
 
 
@@ -327,6 +468,119 @@ def block_pack(tris, factor=None):
         empty[:, None], 0.0, 0.5 * (bmax - bmin) + 1e-5
     )
     return packed, centers, half_extents
+
+
+def build_tri_accel(triangles, materials):
+    """Precompute the triangle traversal accelerator (reference analog:
+    GPUKernel::compactBoxes building the two-level box grid once per
+    scene mutation, NOT per frame).
+
+    Row 15 of ``packed`` carries the per-primitive shadow factor
+    (transparency; 1.0 for emissive lamps) so ONE packed array serves
+    both the closest-hit kernel (ignores row 15) and the shadow kernel.
+    Returns a :class:`solr_tpu.types.TriAccel`.
+    """
+    from solr_tpu.types import TriAccel
+
+    tri_m = triangles.material
+    factor = jnp.where(
+        materials.emission[tri_m] > 0.0,
+        1.0,
+        materials.transparency[tri_m],
+    )
+    packed, centers, half = block_pack(triangles, factor)
+    b = packed.shape[0]
+    bp = ((b + SUPER - 1) // SUPER) * SUPER
+    if bp > b:
+        centers = jnp.concatenate(
+            [centers, jnp.full((bp - b, 3), _BIG, centers.dtype)]
+        )
+        half = jnp.concatenate(
+            [half, jnp.zeros((bp - b, 3), half.dtype)]
+        )
+    zeros2 = jnp.zeros((bp, 2), centers.dtype)
+    block_bounds = jnp.concatenate([centers, half, zeros2], axis=-1)  # (Bp,8)
+
+    # Super-block bounds: union of non-empty child blocks.
+    real = centers[:, 0] < _BIG * 0.5
+    bmin = jnp.where(real[:, None], centers - half, _BIG)
+    bmax = jnp.where(real[:, None], centers + half, -_BIG)
+    smin = bmin.reshape(bp // SUPER, SUPER, 3).min(axis=1)
+    smax = bmax.reshape(bp // SUPER, SUPER, 3).max(axis=1)
+    empty = smax[:, 0] < smin[:, 0]
+    sc = jnp.where(empty[:, None], _BIG, 0.5 * (smin + smax))
+    sh = jnp.where(empty[:, None], 0.0, 0.5 * (smax - smin))
+    zeros2s = jnp.zeros((sc.shape[0], 2), centers.dtype)
+    sb_bounds = jnp.concatenate([sc, sh, zeros2s], axis=-1)  # (Bp/SUPER, 8)
+    return TriAccel(
+        packed=packed,
+        block_bounds=block_bounds,
+        sb_bounds=sb_bounds,
+        block=BLOCK,
+        super=SUPER,
+    )
+
+
+def two_level_select(mask1, near1, block_bounds, cull_child, max_super: int,
+                     max_blocks: int):
+    """Two-level candidate selection: pick the nearest surviving
+    super-blocks, cull their child blocks, keep the nearest child blocks.
+
+    Args:
+      mask1/near1: (S, NSB) L1 bundle-vs-super-block cull output.
+      block_bounds: (Bp, 8) per-block [center, half-extent] rows, Bp a
+        multiple of SUPER, padding blocks parked at +BIG.
+      cull_child: fn (S, J, 8) gathered child bounds -> (mask, near).
+      max_super/max_blocks: per-bundle caps M and K.
+
+    Returns (cand (S,K) int32 block ids nearest-first, counts (S,),
+    near_sorted (S,K), near_bound (S,K+1) with a +FAR sentinel column,
+    dropped_near (S,)).  ``dropped_near`` is a true lower bound on the
+    hit distance inside ANY candidate dropped by either cap — +FAR when
+    nothing was dropped — which the caller uses to prove the selection
+    exact per ray (see traverse._tri_packet_closest's fallback net).
+    """
+    s_tiles, nsb = mask1.shape
+    m = min(max_super, nsb)
+    big = jnp.asarray(_BIG, near1.dtype)
+    score1 = jnp.where(mask1, -near1, -big)
+    top1_v, top1_i = jax.lax.top_k(score1, min(m + 1, nsb))
+    sel = top1_i[:, :m]  # (S, M)
+    sel_valid = top1_v[:, :m] > -big * 0.5
+    if nsb > m:
+        dropped1 = jnp.where(
+            top1_v[:, m] > -big * 0.5, -top1_v[:, m], T_FAR
+        )
+    else:
+        dropped1 = jnp.full((s_tiles,), T_FAR, near1.dtype)
+
+    child = (
+        sel[:, :, None] * SUPER
+        + jnp.arange(SUPER, dtype=sel.dtype)[None, None, :]
+    ).reshape(s_tiles, m * SUPER)  # (S, J)
+    bbg = jnp.take(block_bounds, child, axis=0)  # (S, J, 8) clip-mode
+    mask2, near2 = cull_child(bbg)
+    mask2 = mask2 & jnp.repeat(sel_valid, SUPER, axis=1)
+
+    j = child.shape[1]
+    k = min(max_blocks, j)
+    score2 = jnp.where(mask2, -near2, -big)
+    top2_v, top2_i = jax.lax.top_k(score2, min(k + 1, j))
+    cand = jnp.take_along_axis(child, top2_i[:, :k], axis=1).astype(jnp.int32)
+    valid = top2_v[:, :k] > -big * 0.5
+    counts = valid.sum(axis=-1).astype(jnp.int32)
+    near_sorted = jnp.where(valid, -top2_v[:, :k], T_FAR)
+    if j > k:
+        dropped2 = jnp.where(
+            top2_v[:, k] > -big * 0.5, -top2_v[:, k], T_FAR
+        )
+    else:
+        dropped2 = jnp.full((s_tiles,), T_FAR, near1.dtype)
+    dropped_near = jnp.minimum(dropped1, dropped2)
+    near_bound = jnp.concatenate(
+        [near_sorted, jnp.full((s_tiles, 1), T_FAR, near1.dtype)], axis=1
+    )
+    return cand, counts, near_sorted, near_bound, dropped_near
 
 
 def _woop_t(o_t, d_t, w, t_min):

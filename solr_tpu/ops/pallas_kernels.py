@@ -1,34 +1,32 @@
 """Pallas TPU kernels for the block-packet traversal hot path.
 
-Each tile's candidate triangle BLOCKs (ids produced by the dense
-cone-vs-block-AABB cull in solr_tpu.ops.packet) are DMA'd straight
-from the packed HBM array via BlockSpec index_maps that read the
-scalar-prefetched candidate ids — no XLA-side pregather exists at all.
-On top of that the kernels add
+Slab design (round 2 — replaces the round-1 per-candidate-grid kernels
+whose fixed (tiles x K/2) grid paid per-step overhead for every skipped
+candidate): the grid has ONE step per ray sub-bundle; each step receives
 
-  * PAIR processing — each grid step fetches and intersects TWO
-    candidate blocks (two index_maps), halving per-step overhead,
-    which dominates at (1024, 256) tile sizes;
-  * dynamic work skipping — grid steps beyond the tile's ACTUAL
-    candidate count (scalar-prefetched) are skipped with @pl.when;
-  * front-to-back early-out — candidates arrive nearest-first (packet
-    sorts by cone-distance lower bound); once every ray's best hit is
-    closer than the next pair's lower bound, remaining steps are
-    skipped (guard on an SMEM running max).
+  * the sub-bundle's rays as a (SB, 16) VMEM tile
+    [ox oy oz 1 | dx dy dz 0 | tmax pad...] — MXU/VPU-ready layout;
+  * a contiguous, XLA-pre-gathered slab of its K candidate blocks
+    (K, 16, BLOCK) — Pallas auto-pipelines the slab DMA across grid
+    steps (double buffering for free);
+  * scalar-prefetched candidate counts / ids / front-to-back distance
+    lower bounds.
 
-Layout (all vector, no dynamic VMEM lane indexing — Mosaic cannot index
-VMEM lanes dynamically): rays live as (1024, 1) sublane vectors; each
-candidate block is a (16, BLOCK) VMEM tile holding the 12 Woop
-transform rows (+ shadow factor row 15, see packet.block_pack).  The
-Woop ray-triangle chain runs as SIX (1024, 4) @ (4, BLOCK) MXU matmuls
-plus a ~16-op VPU epilogue on (1024, BLOCK) tiles; reductions over the
-lane (prim) axis fold into a per-tile running best that persists in the
-output block across the candidate grid axis (same index_map for every
-k — the standard TPU accumulation pattern).
+An in-kernel fori_loop walks the candidates nearest-first with TWO
+skips: candidates beyond the sub-bundle's count, and — the big one —
+front-to-back early termination once EVERY ray's best hit is closer
+than the distance lower bound of the next candidate (terrain-style
+scenes stop after a handful of blocks).
+
+The Woop world->unit-triangle intersection runs as VPU broadcast math
+((SB,1) ray components x (1,BLOCK) transform rows): a (SB,4)@(4,BLOCK)
+MXU matmul pads K=4 to the 128-deep systolic array (~3% utilization),
+so for this op the VPU is the faster unit.
 
 Reference lineage: replaces the per-thread skip-index walk of
 GeometryIntersections.cuh: intersectionWithPrimitives; correctness is
-pinned by tests against the XLA block path in interpret mode.
+pinned by tests against the XLA block path in interpret mode and by the
+exactness net in solr_tpu.ops.traverse.
 """
 
 from __future__ import annotations
@@ -43,40 +41,46 @@ from jax.experimental.pallas import tpu as pltpu
 from solr_tpu.constants import T_FAR
 from solr_tpu.ops.packet import BLOCK
 
-__all__ = ["tri_blocks_closest_pallas", "tri_blocks_transmittance_pallas"]
-
-TILE_RAYS = 1024  # rays per tile: (1024, 1) sublane vector
-PAIR = 2  # candidate blocks intersected per grid step
+__all__ = [
+    "slab_closest_pallas",
+    "slab_transmittance_pallas",
+    "make_rays16",
+]
 
 _BIG_I = 2**31 - 1  # python int: jnp scalars would be captured consts
 
 
-def _woop_block(o4, d4, w, t_min):
-    """Woop unit-triangle intersection: (1024, 4) homogeneous rays x a
-    packed (16, BLOCK) transform tile -> (1024, BLOCK) t.
+def make_rays16(o_t, d_t, tmax_t=None):
+    """(S, SB, 3) rays -> (S, SB, 16) kernel layout
+    [ox oy oz 1 | dx dy dz 0 | tmax 0 0 0 0 0 0 0]."""
+    s, sb, _ = o_t.shape
+    dt = o_t.dtype
+    one = jnp.ones((s, sb, 1), dt)
+    zero = jnp.zeros((s, sb, 1), dt)
+    tm = zero if tmax_t is None else tmax_t[..., None].astype(dt)
+    pad = jnp.zeros((s, sb, 7), dt)
+    return jnp.concatenate([o_t, one, d_t, zero, tm, pad], axis=-1)
 
-    The affine world->unit-triangle transform turns per-pair geometry
-    into SIX (1024, 4) @ (4, BLOCK) matmuls (MXU work, ~free) plus a
-    ~16-op VPU epilogue.  Degenerate (padded) triangles have all-zero
-    rows -> d'z == 0 -> never hit.  Row 12 of ``w`` is all zeros — the
-    m-column for the direction transform.
+
+def _woop_rows(rays, w, t_min):
+    """VPU-broadcast Woop intersection: rays (SB, 16) x packed block
+    rows w (16, BLOCK) -> t (SB, BLOCK).
+
+    Row slices of ``w`` are (1, BLOCK) lane rows; ray components are
+    (SB, 1) sublane columns — every product is a full-lane broadcast op.
+    Degenerate (padding) triangles have all-zero rows -> d'z == 0 ->
+    never hit.
     """
-    t1 = w[0:4]  # (4, BLOCK): [r1x r1y r1z m1]
-    t2 = w[4:8]
-    t3 = w[8:12]
-    zrow = w[12:13]
-    td = jnp.concatenate([w[0:3], zrow], axis=0)
-    te = jnp.concatenate([w[4:7], zrow], axis=0)
-    tf = jnp.concatenate([w[8:11], zrow], axis=0)
-
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    opx = dot(o4, t1)  # (1024, BLOCK) local-origin components
-    opy = dot(o4, t2)
-    opz = dot(o4, t3)
-    dpx = dot(d4, td)
-    dpy = dot(d4, te)
-    dpz = dot(d4, tf)
-
+    r = lambda i: w[i : i + 1, :]  # (1, BLOCK)
+    c = lambda i: rays[:, i : i + 1]  # (SB, 1)
+    ox, oy, oz = c(0), c(1), c(2)
+    dx, dy, dz = c(4), c(5), c(6)
+    opx = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
+    opy = ox * r(4) + oy * r(5) + oz * r(6) + r(7)
+    opz = ox * r(8) + oy * r(9) + oz * r(10) + r(11)
+    dpx = dx * r(0) + dy * r(1) + dz * r(2)
+    dpy = dx * r(4) + dy * r(5) + dz * r(6)
+    dpz = dx * r(8) + dy * r(9) + dz * r(10)
     safe = jnp.abs(dpz) > 1e-12
     inv = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, dpz, 1.0)
     t = -opz * inv
@@ -86,211 +90,144 @@ def _woop_block(o4, d4, w, t_min):
     return jnp.where(valid & (t > t_min), t, T_FAR)
 
 
-def _ray_mats(ox, oy, oz, dx, dy, dz):
-    """(1, 1024, 1) refs -> homogeneous (1024, 4) origin/direction."""
-    o4 = jnp.concatenate(
-        [ox[0], oy[0], oz[0], jnp.ones_like(ox[0])], axis=1
-    )
-    d4 = jnp.concatenate(
-        [dx[0], dy[0], dz[0], jnp.zeros_like(dx[0])], axis=1
-    )
-    return o4, d4
-
-
 def _closest_kernel(
-    counts_ref, cand_ref, near_ref,  # scalar prefetch: (T,), (T,K), (T,K)
-    ox, oy, oz, dx, dy, dz,  # (1, 1024, 1) ray blocks
-    wa_ref, wb_ref,  # (1, 16, BLOCK) packed Woop pair (DMA'd by index_map)
-    bt_ref, bi_ref,  # (1, 1024, 1) outputs, persistent across k
-    maxb_ref,  # SMEM (1,) f32: running max over rays of best_t
-    *, t_min,
+    counts_ref, cand_ref, nearb_ref,  # prefetch: (S,), (S,K), (S,K+1)
+    rays_ref,  # (1, SB, 16)
+    slab_ref,  # (1, K, 16, BLOCK) gathered candidate blocks
+    bt_ref, bi_ref,  # (1, SB, 1) outputs
+    *, k_max, t_min,
 ):
-    i = pl.program_id(0)
-    k = pl.program_id(1)
+    s = pl.program_id(0)
+    sb = rays_ref.shape[1]
+    bt_ref[...] = jnp.full((1, sb, 1), T_FAR, jnp.float32)
+    bi_ref[...] = jnp.full((1, sb, 1), -1, jnp.int32)
+    count = counts_ref[s]
+    rays = rays_ref[0]
 
-    @pl.when(k == 0)
-    def _():
-        bt_ref[...] = jnp.full((1, TILE_RAYS, 1), T_FAR, jnp.float32)
-        bi_ref[...] = jnp.full((1, TILE_RAYS, 1), -1, jnp.int32)
-        maxb_ref[0] = T_FAR
+    def body(k, alive):
+        @pl.when((k < count) & alive)
+        def _():
+            w = slab_ref[0, k]  # (16, BLOCK)
+            t = _woop_rows(rays, w, t_min)  # (SB, BLOCK)
+            base = cand_ref[s, k] * BLOCK
+            pid = base + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+            c_min = jnp.min(t, axis=1, keepdims=True)  # (SB, 1)
+            c_idx = jnp.min(
+                jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
+            )
+            bt = bt_ref[0]
+            better = c_min < bt
+            bt_ref[0] = jnp.where(better, c_min, bt)
+            bi_ref[0] = jnp.where(better, c_idx, bi_ref[0])
 
-    def fold(w_ref, slot):
-        o4, d4 = _ray_mats(ox, oy, oz, dx, dy, dz)
-        t = _woop_block(o4, d4, w_ref[0], t_min)  # (1024, BLOCK)
-        base = cand_ref[i, PAIR * k + slot] * BLOCK
-        pid = base + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-        c_min = jnp.min(t, axis=1, keepdims=True)  # (1024, 1)
-        # idx of the winning lane: min over lanes of pid where t == min.
-        c_idx = jnp.min(
-            jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
-        )
-        bt = bt_ref[0]  # (1024, 1)
-        better = c_min < bt
-        bt_ref[0] = jnp.where(better, c_min, bt)
-        bi_ref[0] = jnp.where(better, c_idx, bi_ref[0])
+        # Front-to-back early-out: stop once every ray's best hit is
+        # closer than the lower bound of the NEXT candidate.
+        nxt = jnp.minimum(k + 1, k_max)
+        return alive & (jnp.max(bt_ref[0]) > nearb_ref[s, nxt])
 
-    alive = near_ref[i, PAIR * k] < maxb_ref[0]
-
-    @pl.when((PAIR * k < counts_ref[i]) & alive)
-    def _():
-        fold(wa_ref, 0)
-
-    @pl.when((PAIR * k + 1 < counts_ref[i]) & alive)
-    def _():
-        fold(wb_ref, 1)
-
-    @pl.when((PAIR * k < counts_ref[i]) & alive)
-    def _():
-        maxb_ref[0] = jnp.max(bt_ref[0])
+    jax.lax.fori_loop(0, k_max, body, True)
 
 
 def _trans_kernel(
-    counts_ref, cand_ref, near_ref,
-    ox, oy, oz, dx, dy, dz, tmax,  # rays (1, 1024, 1)
-    wa_ref, wb_ref,  # (1, 16, BLOCK); row 15 = per-prim shadow factor
-    tr_ref,  # (1, 1024, 1) transmittance output
-    live_ref,  # SMEM (1,) f32: max transmittance (0 => all shadowed)
-    *, t_min,
+    counts_ref,  # prefetch: (S,)
+    rays_ref,  # (1, SB, 16); lane 8 = per-ray t_max
+    slab_ref,  # (1, K, 16, BLOCK); row 15 = per-prim shadow factor
+    tr_ref,  # (1, SB, 1) transmittance output
+    *, k_max, t_min,
 ):
-    i = pl.program_id(0)
-    k = pl.program_id(1)
+    s = pl.program_id(0)
+    sb = rays_ref.shape[1]
+    tr_ref[...] = jnp.ones((1, sb, 1), jnp.float32)
+    count = counts_ref[s]
+    rays = rays_ref[0]
+    tmax = rays[:, 8:9]  # (SB, 1)
 
-    @pl.when(k == 0)
-    def _():
-        tr_ref[...] = jnp.ones((1, TILE_RAYS, 1), jnp.float32)
-        live_ref[0] = 1.0
+    def body(k, alive):
+        @pl.when((k < count) & alive)
+        def _():
+            w = slab_ref[0, k]
+            t = _woop_rows(rays, w, t_min)
+            occ = t < tmax
+            f = jnp.where(occ, w[15:16, :], 1.0)
+            # Lane product via exp(sum(log)): Mosaic has no reduce_prod
+            # lowering on the TC kernel path.  Exact at the boundaries
+            # (log(0) = -inf -> exp = 0; log(1) = 0) and f in [0, 1].
+            logf = jnp.log(jnp.maximum(f, 0.0))
+            tr_ref[0] = tr_ref[0] * jnp.exp(
+                jnp.sum(logf, axis=1, keepdims=True)
+            )
 
-    def fold(w_ref):
-        o4, d4 = _ray_mats(ox, oy, oz, dx, dy, dz)
-        w = w_ref[0]
-        t = _woop_block(o4, d4, w, t_min)
-        occ = t < tmax[0]  # (1024, BLOCK)
-        f = jnp.where(occ, w[15:16], 1.0)
-        # Lane product via exp(sum(log)): Mosaic has no reduce_prod
-        # lowering on the TC kernel path.  Exact at the boundaries
-        # (log(0) = -inf -> exp = 0; log(1) = 0) and f in [0, 1].
-        logf = jnp.log(jnp.maximum(f, 0.0))
-        tr_ref[0] = tr_ref[0] * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
+        # All rays fully shadowed -> nothing left to attenuate.
+        return alive & (jnp.max(tr_ref[0]) > 1e-6)
 
-    alive = live_ref[0] > 1e-6
-
-    @pl.when((PAIR * k < counts_ref[i]) & alive)
-    def _():
-        fold(wa_ref)
-
-    @pl.when((PAIR * k + 1 < counts_ref[i]) & alive)
-    def _():
-        fold(wb_ref)
-
-    @pl.when((PAIR * k < counts_ref[i]) & alive)
-    def _():
-        live_ref[0] = jnp.max(tr_ref[0])
+    jax.lax.fori_loop(0, k_max, body, True)
 
 
-def _ray_blocks(o_t, d_t):
-    t_tiles = o_t.shape[0]
-    rs = lambda a: a.reshape(t_tiles, TILE_RAYS, 1)
-    return tuple(
-        rs(arr[..., i]) for arr in (o_t, d_t) for i in range(3)
+def _specs(k_max: int, sb: int, n_prefetch: int):
+    ray_spec = pl.BlockSpec(
+        (1, sb, 16), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
     )
+    slab_spec = pl.BlockSpec(
+        (1, k_max, 16, BLOCK),
+        lambda s, *_: (s, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, sb, 1), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+    )
+    return ray_spec, slab_spec, out_spec
 
 
-def _pad_pair(cand, near_sorted):
-    """Pad the candidate axis to a multiple of PAIR."""
-    k = cand.shape[1]
-    pad = (-k) % PAIR
-    if pad:
-        cand = jnp.pad(cand, ((0, 0), (0, pad)))
-        near_sorted = jnp.pad(near_sorted, ((0, 0), (0, pad)),
-                              constant_values=T_FAR)
-    return cand, near_sorted
-
-
-_ray_spec = pl.BlockSpec(
-    (1, TILE_RAYS, 1),
-    lambda i, k, *_: (i, 0, 0),
-    memory_space=pltpu.VMEM,
-)
-# THE trick: the packed Woop array stays in HBM; each grid step DMAs
-# only the tile's two next candidate blocks, addressed by the
-# prefetched candidate ids (scalar-prefetch operands come after the
-# grid indices in the index_map signature).
-_woop_spec_a = pl.BlockSpec(
-    (1, 16, BLOCK),
-    lambda i, k, counts, cand, near: (cand[i, PAIR * k], 0, 0),
-    memory_space=pltpu.VMEM,
-)
-_woop_spec_b = pl.BlockSpec(
-    (1, 16, BLOCK),
-    lambda i, k, counts, cand, near: (cand[i, PAIR * k + 1], 0, 0),
-    memory_space=pltpu.VMEM,
-)
-_out_spec = pl.BlockSpec(
-    (1, TILE_RAYS, 1),
-    lambda i, k, *_: (i, 0, 0),
-    memory_space=pltpu.VMEM,
-)
-
-
-def tri_blocks_closest_pallas(
-    packed, o_t, d_t, cand, counts, near_sorted, t_min,
-    interpret: bool = False,
+def slab_closest_pallas(
+    slab, rays16, cand, counts, near_bound, t_min, interpret: bool = False
 ):
-    """Pallas closest hit: (T, TR) t and prim idx.
+    """Closest hit over pre-gathered candidate slabs.
 
-    packed (B, 16, BLOCK) from packet.block_pack; o_t/d_t (T, 1024, 3);
-    cand (T, K) nearest-first candidate block ids; counts (T,) valid
-    candidates; near_sorted (T, K) their distance lower bounds.
+    slab (S, K, 16, BLOCK); rays16 (S, SB, 16) from make_rays16;
+    cand (S, K) block ids (nearest-first); counts (S,); near_bound
+    (S, K+1) per-candidate distance lower bounds with a +FAR sentinel.
+    Returns (t (S, SB), prim idx (S, SB); -1 = miss).
     """
-    assert o_t.shape[1] == TILE_RAYS, "packet tile must be 1024 rays"
-    cand, near_sorted = _pad_pair(cand, near_sorted)
-    t_tiles, k_max = cand.shape
-    rays = _ray_blocks(o_t, d_t)
-
+    s_tiles, k_max = cand.shape
+    sb = rays16.shape[1]
+    ray_spec, slab_spec, out_spec = _specs(k_max, sb, 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t_tiles, k_max // PAIR),
-        in_specs=[_ray_spec] * 6 + [_woop_spec_a, _woop_spec_b],
-        out_specs=(_out_spec, _out_spec),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        grid=(s_tiles,),
+        in_specs=[ray_spec, slab_spec],
+        out_specs=(out_spec, out_spec),
     )
     bt, bi = pl.pallas_call(
-        functools.partial(_closest_kernel, t_min=t_min),
+        functools.partial(_closest_kernel, k_max=k_max, t_min=t_min),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((t_tiles, TILE_RAYS, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, TILE_RAYS, 1), jnp.int32),
+            jax.ShapeDtypeStruct((s_tiles, sb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s_tiles, sb, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(counts, cand, near_sorted, *rays, packed, packed)
+    )(counts, cand, near_bound, rays16, slab)
     bi = jnp.where(bi == _BIG_I, -1, bi)
-    return bt.reshape(t_tiles, TILE_RAYS), bi.reshape(t_tiles, TILE_RAYS)
+    return bt.reshape(s_tiles, sb), bi.reshape(s_tiles, sb)
 
 
-def tri_blocks_transmittance_pallas(
-    packed, o_t, d_t, t_max_t, cand, counts, near_sorted, t_min,
-    interpret: bool = False,
+def slab_transmittance_pallas(
+    slab, rays16, counts, t_min, interpret: bool = False
 ):
-    """Pallas shadow transmittance: (T, TR) in [0, 1]."""
-    assert o_t.shape[1] == TILE_RAYS
-    cand, near_sorted = _pad_pair(cand, near_sorted)
-    t_tiles, k_max = cand.shape
-    rays = _ray_blocks(o_t, d_t)
-    tmax = t_max_t.reshape(t_tiles, TILE_RAYS, 1)
-
+    """Shadow transmittance over pre-gathered candidate slabs: (S, SB)
+    in [0, 1].  Per-ray t_max rides in rays16 lane 8."""
+    s_tiles, k_max = slab.shape[:2]
+    sb = rays16.shape[1]
+    ray_spec, slab_spec, out_spec = _specs(k_max, sb, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(t_tiles, k_max // PAIR),
-        in_specs=[_ray_spec] * 7 + [_woop_spec_a, _woop_spec_b],
-        out_specs=_out_spec,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        num_scalar_prefetch=1,
+        grid=(s_tiles,),
+        in_specs=[ray_spec, slab_spec],
+        out_specs=out_spec,
     )
     tr = pl.pallas_call(
-        functools.partial(_trans_kernel, t_min=t_min),
+        functools.partial(_trans_kernel, k_max=k_max, t_min=t_min),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (t_tiles, TILE_RAYS, 1), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((s_tiles, sb, 1), jnp.float32),
         interpret=interpret,
-    )(counts, cand, near_sorted, *rays, tmax, packed, packed)
-    return tr.reshape(t_tiles, TILE_RAYS)
+    )(counts, rays16, slab)
+    return tr.reshape(s_tiles, sb)

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from solr_tpu.constants import RAY_EPS
+from solr_tpu.constants import PARK_DIR, PARK_POS, RAY_EPS
 from solr_tpu.ops import textures as tex_ops
 from solr_tpu.ops.camera import camera_rays, eye_rays
 from solr_tpu.ops.shade import phong_shade
@@ -38,9 +38,10 @@ _MIN_THROUGHPUT = 1e-3
 
 # Dead-ray parking spot: far outside any scene, pointing away from the
 # origin region, so packet bundles of parked rays cull to ZERO candidate
-# blocks and retired tiles cost almost nothing (solr_tpu.ops.packet).
-_PARK_POS = 1.0e8
-_PARK_DIR = 0.5773502691896258  # 1/sqrt(3), per component
+# blocks and retired tiles cost almost nothing (solr_tpu.ops.packet;
+# values in solr_tpu.constants so the packet cull can detect them).
+_PARK_POS = PARK_POS
+_PARK_DIR = PARK_DIR
 
 
 def _compact_perm(live):

@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from solr_tpu.constants import RAY_EPS
+from solr_tpu.constants import PARK_DIR, PARK_POS, RAY_EPS
 from solr_tpu.ops import textures as tex_ops
 from solr_tpu.ops.traverse import SurfaceInfo, scene_transmittance
 from solr_tpu.ops.vecmath import dot, normalize, reflect
@@ -115,8 +115,8 @@ def phong_shade(
                 # out of the scene so packet tiles of dead rays cull to
                 # zero candidate blocks (see render._PARK_POS).
                 invalid = ~surf.valid[:, None, None]
-                origin = jnp.where(invalid, 1.0e8, origin)
-                sdir = jnp.where(invalid, 0.5773502691896258, sdir)
+                origin = jnp.where(invalid, PARK_POS, origin)
+                sdir = jnp.where(invalid, PARK_DIR, sdir)
                 t_max = jnp.where(invalid[..., 0], 1.0, t_max)
                 trans = scene_transmittance(
                     scene,

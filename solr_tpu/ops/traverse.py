@@ -303,34 +303,74 @@ def _scene_closest_hit_raw(
     return Hit(t=best_t, pool=best_pool, idx=best_idx)
 
 
-def _use_pallas(tile_rays: int) -> bool:
-    from solr_tpu.ops.pallas_kernels import TILE_RAYS
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
 
-    return tile_rays == TILE_RAYS and jax.default_backend() == "tpu"
+
+def _tri_accel(scene: Scene):
+    from solr_tpu.ops import packet as pk
+
+    if scene.tri_accel is not None:
+        return scene.tri_accel
+    # Unbuilt/raw scenes (tests): derive on the fly.
+    return pk.build_tri_accel(scene.triangles, scene.materials)
 
 
 def _tri_packet_closest(scene, o, d, t_min, packet):
+    """Packet closest hit, two-level cull + slab kernel + exactness net.
+
+    The net makes the capped candidate selection EXACT: after the
+    nearest-first candidates are intersected, any live ray whose best
+    hit is not provably closer than every dropped candidate
+    (``dropped_near`` from two_level_select) re-walks the skip-pointer
+    BVH, masked.  On typical scenes zero rays qualify and the masked
+    while_loop exits after one condition check.
+    """
+    from solr_tpu.constants import PARK_THRESHOLD
+    from solr_tpu.ops import bvh as bvh_mod
     from solr_tpu.ops import packet as pk
 
-    tile_rays, max_blocks = packet
+    tile_rays, max_blocks, max_super, exact = packet
     r = o.shape[0]
     o_t = o.reshape(-1, tile_rays, 3)
     d_t = d.reshape(-1, tile_rays, 3)
-    packed, centers, half_ext = pk.block_pack(scene.triangles)
-    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-    mask, near = pk.cull_blocks(po, ro, axis, cos_g, centers, half_ext)
-    cand, valid, _overflow = pk.candidate_leaves(mask, max_blocks, near)
-    counts = valid.sum(axis=-1).astype(jnp.int32)
-    if _use_pallas(tile_rays):
-        from solr_tpu.ops.pallas_kernels import tri_blocks_closest_pallas
+    accel = _tri_accel(scene)
+    live = o_t[..., 0] < PARK_THRESHOLD  # (S, SB)
+    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t, live)
+    mask1, near1 = pk.cull_blocks(
+        po, ro, axis, cos_g,
+        accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+    )
+    mask1 = mask1 & jnp.any(live, axis=1)[:, None]
+    cand, counts, _near, near_bound, dropped = pk.two_level_select(
+        mask1, near1, accel.block_bounds,
+        lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
+        max_super, max_blocks,
+    )
+    if _use_pallas():
+        from solr_tpu.ops.pallas_kernels import (
+            make_rays16, slab_closest_pallas,
+        )
 
-        near_sorted = jnp.take_along_axis(near, cand, axis=-1)
-        t, i = tri_blocks_closest_pallas(
-            packed, o_t, d_t, cand, counts, near_sorted, t_min
+        slab = jnp.take(accel.packed, cand, axis=0)  # (S, K, 16, BLOCK)
+        rays16 = make_rays16(o_t, d_t)
+        bt, bi = slab_closest_pallas(
+            slab, rays16, cand, counts, near_bound, t_min
         )
     else:
-        t, i = pk.tri_blocks_closest(packed, o_t, d_t, cand, counts, t_min)
-    return t.reshape(r), i.reshape(r)
+        bt, bi = pk.tri_blocks_closest(
+            accel.packed, o_t, d_t, cand, counts, t_min
+        )
+    if exact and scene.tri_bvh is not None:
+        need = live & (bt > dropped[:, None])
+        t2, i2 = bvh_mod.bvh_closest_hit(
+            scene, scene.tri_bvh, POOL_TRIANGLE, o, d, t_min,
+            bt.reshape(r), active=need.reshape(r),
+        )
+        bt_f, bi_f = bt.reshape(r), bi.reshape(r)
+        better = t2 < bt_f
+        return jnp.where(better, t2, bt_f), jnp.where(better, i2, bi_f)
+    return bt.reshape(r), bi.reshape(r)
 
 
 def scene_transmittance(
@@ -421,41 +461,62 @@ def scene_transmittance(
 
 def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet):
     """Packet shadow transmittance; handles (R, 3) and (R, L, 3) rays
-    (the shadow path is vectorized rays x lights)."""
+    (the shadow path is vectorized rays x lights).
+
+    Shadow bundles are culled as SEGMENT bundles (capsule between the
+    origin sphere and the light-sample sphere — solr_tpu.ops.packet.
+    capsule_bundles), which stays tight even when the mean-direction
+    cone is wide.  Sub-bundles that dropped any candidate re-walk the
+    BVH masked — transmittance needs every occluder, so the drop is
+    never provably safe the way closest-hit drops are.
+    """
+    from solr_tpu.constants import PARK_THRESHOLD, T_FAR as _TF
+    from solr_tpu.ops import bvh as bvh_mod
     from solr_tpu.ops import packet as pk
 
-    tile_rays, max_blocks = packet
-    mats = scene.materials
-    tri_m = scene.triangles.material
-    # Emissive lamps never occlude (reference: processShadows skips the
-    # lamp primitive).
-    factor = jnp.where(
-        mats.emission[tri_m] > 0.0, 1.0, mats.transparency[tri_m]
-    )
-    packed, centers, half_ext = pk.block_pack(scene.triangles, factor)
+    tile_rays, max_blocks, max_super, exact = packet
+    accel = _tri_accel(scene)
 
     def one(o2, d2, tm2):  # (R, 3), (R, 3), (R,)
         o_t = o2.reshape(-1, tile_rays, 3)
         d_t = d2.reshape(-1, tile_rays, 3)
-        tm_t = jnp.broadcast_to(tm2, o2.shape[:-1]).reshape(-1, tile_rays)
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask, near = pk.cull_blocks(po, ro, axis, cos_g, centers, half_ext)
-        cand, valid, _ = pk.candidate_leaves(mask, max_blocks, near)
-        counts = valid.sum(axis=-1).astype(jnp.int32)
-        if _use_pallas(tile_rays):
+        tm_full = jnp.broadcast_to(tm2, o2.shape[:-1])
+        tm_t = tm_full.reshape(-1, tile_rays)
+        live = o_t[..., 0] < PARK_THRESHOLD
+        po, ro, pa, ra = pk.capsule_bundles(o_t, d_t, tm_t, live)
+        mask1, near1 = pk.cull_capsule(
+            po, ro, pa, ra,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        mask1 = mask1 & jnp.any(live, axis=1)[:, None]
+        cand, counts, _near, _nb, dropped = pk.two_level_select(
+            mask1, near1, accel.block_bounds,
+            lambda bbg: pk.cull_capsule_g(po, ro, pa, ra, bbg),
+            max_super, max_blocks,
+        )
+        if _use_pallas():
             from solr_tpu.ops.pallas_kernels import (
-                tri_blocks_transmittance_pallas,
+                make_rays16, slab_transmittance_pallas,
             )
 
-            near_sorted = jnp.take_along_axis(near, cand, axis=-1)
-            tr = tri_blocks_transmittance_pallas(
-                packed, o_t, d_t, tm_t, cand, counts, near_sorted, t_min
-            )
+            slab = jnp.take(accel.packed, cand, axis=0)
+            rays16 = make_rays16(o_t, d_t, tm_t)
+            tr = slab_transmittance_pallas(slab, rays16, counts, t_min)
         else:
             tr = pk.tri_blocks_transmittance(
-                packed, o_t, d_t, tm_t, cand, counts, t_min
+                accel.packed, o_t, d_t, tm_t, cand, counts, t_min
             )
-        return tr.reshape(o2.shape[:-1])
+        tr = tr.reshape(o2.shape[:-1])
+        if exact and scene.tri_bvh is not None:
+            need = (live & (dropped < _TF * 0.5)[:, None]).reshape(
+                o2.shape[:-1]
+            )
+            tr_walk = bvh_mod.bvh_transmittance(
+                scene, scene.tri_bvh, POOL_TRIANGLE, o2, d2, t_min,
+                tm_full, active=need,
+            )
+            tr = jnp.where(need, tr_walk, tr)
+        return tr
 
     if o.ndim == 3:  # (R, L, 3): per-light bundles
         tm = jnp.broadcast_to(t_max, o.shape[:-1])

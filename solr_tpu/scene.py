@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from solr_tpu.constants import BVH_LEAF_SIZE, PAD_ALIGN
@@ -473,7 +474,7 @@ class SceneBuilder:
             material=jnp.asarray(_pad_rows(pla_m, npl, 0)),
         )
 
-        return Scene(
+        scene = Scene(
             spheres=spheres,
             triangles=triangles,
             cylinders=cylinders,
@@ -487,3 +488,14 @@ class SceneBuilder:
             sph_bvh=sph_bvh,
             cyl_bvh=cyl_bvh,
         )
+        if tri_bvh is not None:
+            # Precompute the packet-traversal accelerator once (reference:
+            # compactBoxes at scene-build time, not per frame).
+            from solr_tpu.ops.packet import build_tri_accel
+
+            scene = scene.replace(
+                tri_accel=jax.jit(build_tri_accel)(
+                    scene.triangles, scene.materials
+                )
+            )
+        return scene

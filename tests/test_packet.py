@@ -1,9 +1,12 @@
 """Packet (tile-frustum) traversal correctness: must agree exactly with
 the per-ray while_loop walk and the brute-force sweep (the candidate
-cull is conservative, so identical hits are required, not just close).
+cull is conservative and capped; the exactness net walks any ray whose
+candidate drop is not provably safe, so identical hits are required,
+not just close).
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -23,6 +26,26 @@ def _render(scene, cam, cfg):
 @pytest.fixture(scope="module")
 def tri_scene():
     return random_tri_field(1500).build(bvh_threshold=64)
+
+
+def _terrain_scene(gw=125):
+    """Heightfield of ~2*gw^2 tris (the bench archetype, small)."""
+    xs = np.linspace(-8, 8, gw + 1, dtype=np.float32)
+    zs = np.linspace(2, 18, gw + 1, dtype=np.float32)
+    xg, zg = np.meshgrid(xs, zs)
+    yg = np.sin(xg) * np.cos(zg) - 2.0
+    verts = np.stack([xg, yg, zg], -1).reshape(-1, 3)
+    idx = np.arange((gw + 1) ** 2).reshape(gw + 1, gw + 1)
+    q00, q10 = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
+    q01, q11 = idx[1:, :-1].ravel(), idx[1:, 1:].ravel()
+    faces = np.concatenate([
+        np.stack([q00, q10, q11], -1), np.stack([q00, q11, q01], -1)
+    ])
+    b = st.SceneBuilder()
+    m = b.add_material(color=(0.5, 0.5, 0.5, 1.0))
+    b.add_mesh(verts, faces, m)
+    b.add_light((0, 5, 5))
+    return b.build(bvh_threshold=64)
 
 
 CAM = st.Camera.create(position=(0, 0, -6.0), fov=1.0)
@@ -55,45 +78,20 @@ class TestPacketMatchesWhile:
         np.testing.assert_allclose(img_p, img_w, atol=1e-6)
         np.testing.assert_allclose(t_p, t_w, rtol=1e-6)
 
-    def test_no_overflow_at_default_cap(self):
-        """A surface mesh seen at non-grazing angles must fit the default
-        per-tile block cap; grazing/horizon tiles and volumetric soups may
-        overflow, which degrades gracefully (nearest blocks are kept)."""
-        from solr_tpu.ops.camera import camera_rays
-
-        # Heightfield of ~31k tris = ~250 blocks.
-        gw = 125
-        xs = np.linspace(-8, 8, gw + 1, dtype=np.float32)
-        zs = np.linspace(2, 18, gw + 1, dtype=np.float32)
-        xg, zg = np.meshgrid(xs, zs)
-        yg = np.sin(xg) * np.cos(zg) - 2.0
-        verts = np.stack([xg, yg, zg], -1).reshape(-1, 3)
-        idx = np.arange((gw + 1) ** 2).reshape(gw + 1, gw + 1)
-        q00, q10 = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
-        q01, q11 = idx[1:, :-1].ravel(), idx[1:, 1:].ravel()
-        faces = np.concatenate([
-            np.stack([q00, q10, q11], -1), np.stack([q00, q11, q01], -1)
-        ])
-        b = st.SceneBuilder()
-        m = b.add_material(color=(0.5, 0.5, 0.5, 1.0))
-        b.add_mesh(verts, faces, m)
-        b.add_light((0, 5, 5))
-        scene = b.build(bvh_threshold=64)
-        cfg = st.RenderConfig(width=64, height=64, packet_tile_w=16,
-                              packet_tile_h=16)
-        cam = st.Camera.create(position=(0.0, 8.0, 10.0),
-                               angles=(1.35, 0.0, 0.0), fov=1.0)
-        o, d = camera_rays(cam, cfg)
-        perm, _ = pk.tile_permutation(64, 64, 16, 16)
-        o_t = o[perm].reshape(-1, 256, 3)
-        d_t = d[perm].reshape(-1, 256, 3)
-        _, centers, half_ext = pk.block_pack(scene.triangles)
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask, _near = pk.cull_blocks(po, ro, axis, cos_g, centers, half_ext)
-        counts = np.asarray(mask.sum(axis=-1))
-        assert counts.max() <= cfg.packet_max_blocks
-        # The cull must actually cull (tight cones on primary rays).
-        assert counts.mean() < 0.6 * centers.shape[0]
+    def test_exact_even_with_tiny_caps(self, tri_scene):
+        """Force candidate drops (caps of 2) — the exactness net must
+        re-walk exactly the affected rays, keeping the render identical
+        to the while-loop walk."""
+        base = dict(width=64, height=64, max_bounces=2)
+        cfg_p = st.RenderConfig(
+            **base, traversal="packet", packet_tile_w=16, packet_tile_h=16,
+            packet_max_blocks=2, packet_max_super=2,
+        )
+        cfg_w = st.RenderConfig(**base, traversal="while")
+        img_p, t_p = _render(tri_scene, CAM, cfg_p)
+        img_w, t_w = _render(tri_scene, CAM, cfg_w)
+        np.testing.assert_allclose(img_p, img_w, atol=1e-6)
+        np.testing.assert_allclose(t_p, t_w, rtol=1e-6)
 
     def test_vs_oracle(self, tri_scene):
         cfg = st.RenderConfig(width=32, height=32, max_bounces=2,
@@ -107,8 +105,6 @@ class TestPacketMatchesWhile:
         assert err[inlier].mean() < 2e-3
 
     def test_gradients_through_packet(self, tri_scene):
-        import jax.numpy as jnp
-
         cfg = st.RenderConfig(width=32, height=32, max_bounces=2,
                               traversal="packet", packet_tile_w=16,
                               packet_tile_h=16)
@@ -122,3 +118,103 @@ class TestPacketMatchesWhile:
             assert np.isfinite(np.asarray(leaf)).all()
         assert sum(float(np.abs(np.asarray(x)).sum())
                    for x in g["vertices"]) > 0
+
+
+class TestTwoLevelCull:
+    def _bundle_setup(self, scene, cam, cfg):
+        from solr_tpu.ops.camera import camera_rays
+
+        o, d = camera_rays(cam, cfg)
+        perm, _ = pk.tile_permutation(
+            cfg.width, cfg.height, cfg.packet_tile_w, cfg.packet_tile_h
+        )
+        sb = cfg.packet_rays
+        return o[perm].reshape(-1, sb, 3), d[perm].reshape(-1, sb, 3)
+
+    def test_terrain_selection_tight_and_complete(self):
+        scene = _terrain_scene()
+        accel = scene.tri_accel
+        assert accel is not None
+        cfg = st.RenderConfig(width=64, height=64, packet_tile_w=16,
+                              packet_tile_h=16)
+        cam = st.Camera.create(position=(0.0, 8.0, 10.0),
+                               angles=(1.35, 0.0, 0.0), fov=1.0)
+        o_t, d_t = self._bundle_setup(scene, cam, cfg)
+        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+        mask1, near1 = pk.cull_blocks(
+            po, ro, axis, cos_g,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        cand, counts, near_sorted, near_bound, dropped = pk.two_level_select(
+            mask1, near1, accel.block_bounds,
+            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
+            cfg.packet_max_super, cfg.packet_max_blocks,
+        )
+        c = np.asarray(counts)
+        n_blocks = accel.packed.shape[0]
+        assert c.max() <= cfg.packet_max_blocks
+        # Tight: top-down view of a flat field touches few blocks.
+        assert c.mean() < 0.3 * n_blocks
+        # Valid candidates are distinct (transmittance multiplies per
+        # occurrence — duplicates would double-attenuate).
+        cand_np = np.asarray(cand)
+        for s in range(0, cand_np.shape[0], 7):
+            v = cand_np[s, : c[s]]
+            assert len(np.unique(v)) == len(v)
+        # near_sorted ascending (front-to-back early-out contract).
+        ns = np.asarray(near_sorted)
+        assert (np.diff(ns, axis=1) >= -1e-6).all()
+
+    def test_parked_rays_cull_to_nothing(self):
+        scene = _terrain_scene(40)
+        accel = scene.tri_accel
+        from solr_tpu.constants import PARK_DIR, PARK_POS
+
+        o_t = jnp.full((2, 256, 3), PARK_POS, jnp.float32)
+        d_t = jnp.full((2, 256, 3), PARK_DIR, jnp.float32)
+        live = o_t[..., 0] < 1.0e7
+        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t, live)
+        mask1, near1 = pk.cull_blocks(
+            po, ro, axis, cos_g,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        mask1 = mask1 & jnp.any(live, axis=1)[:, None]
+        cand, counts, *_ = pk.two_level_select(
+            mask1, near1, accel.block_bounds,
+            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
+            12, 16,
+        )
+        assert int(np.asarray(counts).sum()) == 0
+
+    def test_capsule_cull_conservative(self, rng):
+        """Every block a real shadow segment passes through must survive
+        the capsule cull."""
+        scene = _terrain_scene(40)
+        accel = scene.tri_accel
+        n = 64
+        o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+        o[:, 1] = -2.0  # on the terrain
+        light = np.array([0.0, 5.0, 5.0], np.float32)
+        d = light[None] - o
+        dist = np.linalg.norm(d, axis=1)
+        d = d / dist[:, None]
+        o_t = jnp.asarray(o)[None]
+        d_t = jnp.asarray(d)[None]
+        tm_t = jnp.asarray(dist)[None]
+        po, ro, pa, ra = pk.capsule_bundles(o_t, d_t, tm_t)
+        mask, _ = pk.cull_capsule(
+            po, ro, pa, ra,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        mask = np.asarray(mask)[0]
+        # Reference: brute-force segment-vs-superblock-AABB overlap.
+        sbc = np.asarray(accel.sb_bounds[:, 0:3])
+        sbh = np.asarray(accel.sb_bounds[:, 3:6])
+        for i in range(n):
+            ts = np.linspace(0, dist[i], 64)
+            pts = o[i][None] + ts[:, None] * d[i][None]
+            inside = (
+                np.abs(pts[:, None, :] - sbc[None]) <= sbh[None] + 1e-4
+            ).all(-1)  # (64, NSB)
+            touched = inside.any(0)
+            assert not (touched & ~mask).any(), "capsule cull dropped a hit"
