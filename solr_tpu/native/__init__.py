@@ -33,35 +33,80 @@ _LIB: Optional[ctypes.CDLL] = None
 _LOAD_FAILED = False
 
 
-def _cache_path() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    root = os.environ.get(
-        "SOLR_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), f"solr_tpu_native_{os.getuid()}"),
+_CXX_FLAGS = ["-O3", "-march=native", "-std=c++17", "-shared", "-fPIC"]
+
+
+def _compiler_fingerprint() -> str:
+    """Compiler identity folded into the cache key: -march=native output
+    must never be loaded on a different CPU/compiler (SIGILL risk when a
+    cache dir is shared over NFS or survives a machine migration)."""
+    import platform
+
+    try:
+        ver = subprocess.run(
+            ["g++", "--version"], capture_output=True, timeout=10
+        ).stdout.decode(errors="replace").splitlines()[:1]
+    except Exception:
+        ver = ["unknown"]
+    return "|".join(
+        [platform.machine(), platform.processor() or "?", *ver, *_CXX_FLAGS]
     )
-    os.makedirs(root, exist_ok=True)
-    return os.path.join(root, f"lbvh_{digest}.so")
+
+
+def _cache_dir() -> str:
+    """Private per-user cache directory, created 0700 and ownership-
+    checked before any .so is loaded from it (a world-writable /tmp path
+    would let another local user plant a library)."""
+    root = os.environ.get("SOLR_NATIVE_CACHE")
+    if root is None:
+        base = os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+        )
+        root = os.path.join(base, "solr_tpu_native")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise RuntimeError(
+            f"native cache dir {root!r} is not exclusively owned/writable "
+            "by the current user; refusing to load code from it"
+        )
+    return root
+
+
+def _cache_path() -> str:
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as f:
+        h.update(f.read())
+    h.update(_compiler_fingerprint().encode())
+    return os.path.join(_cache_dir(), f"lbvh_{h.hexdigest()[:16]}.so")
 
 
 def load_library() -> Optional[ctypes.CDLL]:
-    """Compile (if needed) and load the native library; None on failure."""
+    """Compile (if needed) and load the native library; None on failure
+    (logged once — callers fall back to the NumPy builder)."""
     global _LIB, _LOAD_FAILED
     if _LIB is not None or _LOAD_FAILED:
         return _LIB
     with _LOCK:
         if _LIB is not None or _LOAD_FAILED:
             return _LIB
+        tmp = None
         try:
             so = _cache_path()
             if not os.path.exists(so):
                 tmp = so + f".tmp{os.getpid()}"
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                     "-fPIC", _SRC, "-o", tmp],
-                    check=True, capture_output=True, timeout=120,
-                )
+                try:
+                    subprocess.run(
+                        ["g++", *_CXX_FLAGS, _SRC, "-o", tmp],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                except subprocess.CalledProcessError as e:
+                    raise RuntimeError(
+                        "g++ failed: "
+                        + e.stderr.decode(errors="replace")[:500]
+                    ) from e
                 os.replace(tmp, so)  # atomic vs concurrent builders
+                tmp = None
             lib = ctypes.CDLL(so)
             lib.solr_lbvh_build.restype = ctypes.c_int64
             lib.solr_lbvh_build.argtypes = [
@@ -76,8 +121,20 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ]
             _LIB = lib
-        except Exception:
+        except Exception as e:
+            from solr_tpu.utils.logging import log_warning
+
+            log_warning(
+                "native LBVH builder unavailable (%s); "
+                "falling back to the NumPy builder", e,
+            )
             _LOAD_FAILED = True
+        finally:
+            if tmp is not None and os.path.exists(tmp):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
     return _LIB
 
 
