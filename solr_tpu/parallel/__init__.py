@@ -15,14 +15,32 @@ build's parallelism is first-class:
     needed.
 """
 
-from solr_tpu.parallel.mesh import make_mesh, device_count
+from solr_tpu.parallel.mesh import (
+    device_count,
+    make_host_chip_mesh,
+    make_mesh,
+)
 from solr_tpu.parallel.render import shard_render
-from solr_tpu.parallel.grads import make_sharded_train_step, sharded_loss_grad
+from solr_tpu.parallel.grads import (
+    init_zero_opt_state,
+    make_sharded_train_step,
+    sharded_loss_grad,
+)
+from solr_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_distributed,
+    process_info,
+)
 
 __all__ = [
     "make_mesh",
+    "make_host_chip_mesh",
     "device_count",
     "shard_render",
     "make_sharded_train_step",
+    "init_zero_opt_state",
     "sharded_loss_grad",
+    "initialize_distributed",
+    "is_distributed",
+    "process_info",
 ]

@@ -7,21 +7,27 @@ loop.  Structure:
   * forward: each device renders ITS tile of the target (no comms);
   * loss: per-tile sum-of-squares, `psum` over the mesh -> global mean;
   * backward: reverse-mode through the tile render produces per-device
-    partial gradients of the REPLICATED scene params; a single `psum`
-    (all-reduce) makes them global.  XLA schedules this all-reduce
-    concurrently with remaining backward computation where possible;
-    an explicit ppermute-pipelined reduce-scatter variant is the
-    Pallas-level optimization layered on later.
+    partial gradients of the REPLICATED scene params; they are combined
+    either by
+      - ``grad_reduce="psum"``: one all-reduce (baseline), or
+      - ``grad_reduce="reduce_scatter"``: the parameter-gradient vector
+        is `psum_scatter`'d so each device reduces only its 1/N shard —
+        half the collective traffic of an all-reduce — and the optimizer
+        update runs ON THE SHARD (ZeRO-1 style: sharded Adam moments),
+        followed by one all-gather of the UPDATED parameters.  Inside
+        one jitted computation XLA's latency-hiding scheduler issues the
+        scatter as an async collective that overlaps the remaining
+        backward work (grads for early bounce parameters are ready while
+        later backward segments still compute).
 
-The optimizer step then runs replicated (scene params are tiny compared
-to rays — a few MB — so sharded optimizer state is not worth the
-gather/scatter; this differs deliberately from LLM-style ZeRO).
+The two modes are numerically equivalent (tested on the 8-device CPU
+mesh): psum-then-update == scatter-update-gather because Adam is
+elementwise.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +39,16 @@ import optax
 from solr_tpu.ops.camera import pixel_grid, rays_from_pixels
 from solr_tpu.ops.render import trace_rays
 from solr_tpu.parallel.mesh import TILE_AXIS, make_mesh
+from solr_tpu.parallel.render import _linear_index
 from solr_tpu.types import Camera, RenderConfig, Scene
 
-__all__ = ["sharded_loss_grad", "make_sharded_train_step"]
+__all__ = [
+    "sharded_loss_grad",
+    "make_sharded_train_step",
+    "init_zero_opt_state",
+    "flatten_params",
+    "unflatten_params",
+]
 
 
 def _tile_loss(params, scene, camera, pix, target_tile, cfg, dtype):
@@ -51,42 +64,128 @@ def _tile_loss(params, scene, camera, pix, target_tile, cfg, dtype):
     return jnp.sum(err * err)
 
 
+# ---------------------------------------------------------------------------
+# Flat-vector view of the parameter pytree (the reduce-scatter unit).
+# ---------------------------------------------------------------------------
+
+
+def flatten_params(params, n_dev: int):
+    """Pytree -> (flat f32 vector padded to a multiple of n_dev, spec).
+
+    The spec (leaves' treedef/shapes/sizes + pad) reconstructs the tree.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(jnp.size(l)) for l in leaves]
+    flat = jnp.concatenate([jnp.ravel(l) for l in leaves]) if leaves else (
+        jnp.zeros((0,), jnp.float32)
+    )
+    pad = (-flat.shape[0]) % n_dev
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    spec = (treedef, shapes, sizes, pad)
+    return flat, spec
+
+
+def unflatten_params(flat, spec):
+    treedef, shapes, sizes, pad = spec
+    if pad:
+        flat = flat[:-pad] if flat.shape[0] else flat
+    leaves = []
+    off = 0
+    for shape, size in zip(shapes, sizes):
+        leaves.append(flat[off : off + size].reshape(shape))
+        off += size
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Loss + gradient
+# ---------------------------------------------------------------------------
+
+
+def _loss_grad_body(params, scene, camera, pix, target_tile, cfg, dtype,
+                    denom, axes):
+    """Per-device loss + RAW per-device grads (not yet reduced)."""
+    loss_sum, grads = jax.value_and_grad(_tile_loss)(
+        params, scene, camera, pix, target_tile, cfg, dtype
+    )
+    loss = jax.lax.psum(loss_sum, axes) / denom
+    return loss, grads
+
+
 def sharded_loss_grad(
     scene: Scene,
     camera: Camera,
     cfg: RenderConfig,
     target,  # (H, W, 3) replicated or sharded
     mesh=None,
+    grad_reduce: str = "psum",
 ):
-    """(loss, grads) with rays sharded over the mesh and grads psum'd.
+    """(loss, grads) with rays sharded over the mesh.
 
-    Both returns are replicated over devices.
+    grad_reduce="psum": grads all-reduced, both returns replicated.
+    grad_reduce="reduce_scatter": grads psum_scatter'd; the return is
+    the REPLICATED pytree reassembled via all_gather (call sites that
+    want the sharded update fused should use make_sharded_train_step,
+    which keeps the shard on-device through the optimizer).
     """
     if mesh is None:
         mesh = make_mesh()
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.devices.size
     dtype = scene.info.background_color.dtype
     pix = pixel_grid(cfg, dtype)
     target_flat = target.reshape(-1, 3)
     denom = 3.0 * cfg.n_pixels
 
+    if grad_reduce == "psum":
+        def body(params, scene, camera, pix, target_tile):
+            loss, grads = _loss_grad_body(
+                params, scene, camera, pix, target_tile, cfg, dtype, denom, axes
+            )
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, axes) / denom, grads
+            )
+            return loss, grads
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axes), P(axes)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(scene.params, scene, camera, pix, target_flat)
+
+    if grad_reduce != "reduce_scatter":
+        raise ValueError(grad_reduce)
+
+    _, spec = flatten_params(scene.params, n_dev)
+
     def body(params, scene, camera, pix, target_tile):
-        loss_sum, grads = jax.value_and_grad(_tile_loss)(
-            params, scene, camera, pix, target_tile, cfg, dtype
+        loss, grads = _loss_grad_body(
+            params, scene, camera, pix, target_tile, cfg, dtype, denom, axes
         )
-        loss = jax.lax.psum(loss_sum, TILE_AXIS) / denom
-        grads = jax.tree.map(
-            lambda g: jax.lax.psum(g, TILE_AXIS) / denom, grads
+        flat, _ = flatten_params(grads, n_dev)
+        shard = jax.lax.psum_scatter(
+            flat / denom, axes, scatter_dimension=0, tiled=True
         )
-        return loss, grads
+        full = jax.lax.all_gather(shard, axes, axis=0, tiled=True)
+        return loss, full
 
     fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(TILE_AXIS), P(TILE_AXIS)),
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axes), P(axes)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(scene.params, scene, camera, pix, target_flat)
+    loss, flat = fn(scene.params, scene, camera, pix, target_flat)
+    return loss, unflatten_params(flat, spec)
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
 
 
 def make_sharded_train_step(
@@ -95,43 +194,116 @@ def make_sharded_train_step(
     cfg: RenderConfig,
     mesh=None,
     optimizer: Optional[optax.GradientTransformation] = None,
-) -> Callable:
+    grad_reduce: str = "psum",
+) -> Tuple[Callable, optax.GradientTransformation]:
     """Build a jitted distributed train step for inverse rendering
     (BASELINE config #4 at multi-chip scale, config #5 structure).
 
     step(params, opt_state, target) -> (params, opt_state, loss)
+
+    With grad_reduce="reduce_scatter", ``opt_state`` must come from
+    ``optimizer.init(flatten_params(params, n_dev)[0])`` — the optimizer
+    moments live on the flat vector and the per-device update touches
+    only the local 1/N shard before one all-gather of updated params
+    (ZeRO-1).  Both modes produce identical parameter trajectories.
     """
     if mesh is None:
         mesh = make_mesh()
     if optimizer is None:
         optimizer = optax.adam(1e-2)
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.devices.size
     dtype = scene.info.background_color.dtype
-    denom_scene = scene
+    base_scene = scene
+    _, spec = flatten_params(scene.params, n_dev)
 
     def step(params, opt_state, target):
         pix = pixel_grid(cfg, dtype)
         target_flat = target.reshape(-1, 3)
         denom = 3.0 * cfg.n_pixels
 
-        def body(params, scene, camera, pix, target_tile):
-            loss_sum, grads = jax.value_and_grad(_tile_loss)(
-                params, scene, camera, pix, target_tile, cfg, dtype
-            )
-            loss = jax.lax.psum(loss_sum, TILE_AXIS) / denom
-            grads = jax.tree.map(
-                lambda g: jax.lax.psum(g, TILE_AXIS) / denom, grads
-            )
-            return loss, grads
+        if grad_reduce == "psum":
+            def body(params, scene, camera, pix, target_tile):
+                loss, grads = _loss_grad_body(
+                    params, scene, camera, pix, target_tile, cfg, dtype,
+                    denom, axes,
+                )
+                grads = jax.tree.map(
+                    lambda g: jax.lax.psum(g, axes) / denom, grads
+                )
+                return loss, grads
 
-        loss, grads = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(TILE_AXIS), P(TILE_AXIS)),
-            out_specs=(P(), P()),
+            loss, grads = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), P(axes), P(axes)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, base_scene, camera, pix, target_flat)
+            updates, new_opt = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, new_opt, loss
+
+        def body(params, opt_state, scene, camera, pix, target_tile):
+            loss, grads = _loss_grad_body(
+                params, scene, camera, pix, target_tile, cfg, dtype, denom, axes
+            )
+            gflat, _ = flatten_params(grads, n_dev)
+            gshard = jax.lax.psum_scatter(
+                gflat / denom, axes, scatter_dimension=0, tiled=True
+            )
+            pflat, _ = flatten_params(params, n_dev)
+            idx = _linear_index(axes)
+            shard_n = pflat.shape[0] // n_dev
+            pshard = jax.lax.dynamic_slice_in_dim(
+                pflat, idx * shard_n, shard_n
+            )
+            # opt_state leaves are sharded (1/N of the flat vector each).
+            updates, new_opt = optimizer.update(gshard, opt_state, pshard)
+            pshard = optax.apply_updates(pshard, updates)
+            pfull = jax.lax.all_gather(pshard, axes, axis=0, tiled=True)
+            return pfull, new_opt, loss
+
+        flat0, _ = flatten_params(params, n_dev)
+        opt_specs = _opt_state_specs(optimizer, flat0, n_dev, axes)
+        pfull, new_opt, loss = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), opt_specs, P(), P(), P(axes),
+                      P(axes)),
+            out_specs=(P(), opt_specs, P()),
             check_vma=False,
-        )(params, denom_scene, camera, pix, target_flat)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        )(params, opt_state, base_scene, camera, pix, target_flat)
+        return unflatten_params(pfull, spec), new_opt, loss
 
     return jax.jit(step), optimizer
+
+
+def _opt_state_specs(optimizer, flat, n_dev, axes):
+    """Per-leaf PartitionSpecs for a ZeRO-sharded optimizer state:
+    vector moments shard over the mesh, rank-0 leaves (e.g. Adam's step
+    count, identical on every device) stay replicated."""
+    sample = jax.eval_shape(
+        lambda f: optimizer.init(f[: f.shape[0] // n_dev]), flat
+    )
+    return jax.tree.map(lambda x: P(axes) if x.ndim else P(), sample)
+
+
+def init_zero_opt_state(scene: Scene, optimizer, mesh=None):
+    """Sharded (ZeRO-1) optimizer state for grad_reduce="reduce_scatter":
+    moments over the flat parameter vector, partitioned over the mesh."""
+    if mesh is None:
+        mesh = make_mesh()
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.devices.size
+    flat, _ = flatten_params(scene.params, n_dev)
+
+    def body(flat):
+        idx = _linear_index(axes)
+        shard_n = flat.shape[0] // n_dev
+        shard = jax.lax.dynamic_slice_in_dim(flat, idx * shard_n, shard_n)
+        return optimizer.init(shard)
+
+    return shard_map(
+        body, mesh=mesh, in_specs=(P(),),
+        out_specs=_opt_state_specs(optimizer, flat, n_dev, axes),
+        check_vma=False,
+    )(flat)

@@ -28,10 +28,18 @@ from solr_tpu.types import Camera, CameraMode, RenderConfig, Scene
 __all__ = ["shard_render"]
 
 
-def _tile_trace(scene, camera, pix, key, cfg, dtype):
+def _linear_index(axes):
+    """Linearized device index over (possibly several) mesh axes."""
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+    return idx
+
+
+def _tile_trace(scene, camera, pix, key, cfg, dtype, axes):
     """Per-device body: generate this tile's rays, trace them."""
     if key is not None:
-        key = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
+        key = jax.random.fold_in(key, _linear_index(axes))
     o, d = rays_from_pixels(camera, cfg, pix, key, dtype)
     color, t = trace_rays(scene, o, d, cfg, key)
     return color, t
@@ -46,6 +54,10 @@ def shard_render(
 ):
     """Render (H, W, 4) with pixel rows sharded over the mesh.
 
+    Works on a 1-D tile mesh or the 2-D ('host', 'chip') mesh — tiles
+    shard over ALL mesh axes, so contiguous pixel blocks stay host-local
+    and only the image gather crosses DCN.
+
     Requires ``cfg.n_pixels`` divisible by the mesh size (the builder's
     lane-aligned resolutions always are).  Returns (image, depth); the
     result carries the tile sharding — callers that need a host array
@@ -54,6 +66,7 @@ def shard_render(
     """
     if mesh is None:
         mesh = make_mesh()
+    axes = tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     dtype = scene.info.background_color.dtype
     if cfg.n_pixels % n_dev:
@@ -66,10 +79,10 @@ def shard_render(
 
     key_spec = P() if key is not None else None
     fn = shard_map(
-        partial(_tile_trace, cfg=cfg, dtype=dtype),
+        partial(_tile_trace, cfg=cfg, dtype=dtype, axes=axes),
         mesh=mesh,
-        in_specs=(P(), P(), P(TILE_AXIS), key_spec),
-        out_specs=P(TILE_AXIS),
+        in_specs=(P(), P(), P(axes), key_spec),
+        out_specs=P(axes),
         check_vma=False,
     )
 
@@ -92,9 +105,11 @@ def shard_render(
 
 
 def _anaglyph_eye(scene, camera, cfg, mesh, eye, key, dtype):
+    axes = tuple(mesh.axis_names)
+
     def body(scene, camera, pix, key):
         if key is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
+            key = jax.random.fold_in(key, _linear_index(axes))
         from solr_tpu.ops.camera import _make_rays, _ndc
         n = pix.shape[0]
         jitter = jnp.zeros((n, 2), dtype)
@@ -108,8 +123,8 @@ def _anaglyph_eye(scene, camera, cfg, mesh, eye, key, dtype):
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(TILE_AXIS), key_spec),
-        out_specs=P(TILE_AXIS),
+        in_specs=(P(), P(), P(axes), key_spec),
+        out_specs=P(axes),
         check_vma=False,
     )
     return fn(scene, camera, pix, key)

@@ -117,3 +117,98 @@ class TestShardedGrads:
         for _ in range(40):
             params, state, l1 = step(params, state, target)
         assert float(l1) < 0.5 * float(l0)
+
+
+class TestHostChipMesh:
+    def test_render_matches_single_device(self, scene, cam):
+        from solr_tpu.parallel import make_host_chip_mesh
+
+        mesh = make_host_chip_mesh(n_hosts=2)  # 2 "hosts" x 4 "chips"
+        assert mesh.axis_names == ("host", "chip")
+        img_s, _ = jax.jit(
+            lambda s, c: shard_render(s, c, CFG, mesh)
+        )(scene, cam)
+        img_1, _ = jax.jit(render_sample, static_argnums=2)(scene, cam, CFG)
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_1), atol=1e-6
+        )
+
+    def test_grads_match_on_host_chip_mesh(self, scene, cam):
+        from solr_tpu.parallel import make_host_chip_mesh
+
+        mesh = make_host_chip_mesh(n_hosts=2)
+        target, _ = render_sample(scene, cam, CFG)
+        target = target[..., :3] * 0.7
+        loss_hc, grads_hc = sharded_loss_grad(scene, cam, CFG, target, mesh)
+        loss_1d, grads_1d = sharded_loss_grad(
+            scene, cam, CFG, target, make_mesh(8)
+        )
+        assert np.allclose(float(loss_hc), float(loss_1d), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            ),
+            grads_hc, grads_1d,
+        )
+
+
+class TestReduceScatter:
+    def test_grads_match_psum(self, scene, cam):
+        """North-star: reduce-scattered grads numerically equal the psum
+        path (VERDICT round 1 item 4)."""
+        mesh = make_mesh(8)
+        target, _ = render_sample(scene, cam, CFG)
+        target = target[..., :3] * 0.7
+        _, g_ps = sharded_loss_grad(scene, cam, CFG, target, mesh, "psum")
+        _, g_rs = sharded_loss_grad(
+            scene, cam, CFG, target, mesh, "reduce_scatter"
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            ),
+            g_ps, g_rs,
+        )
+
+    def test_zero_train_step_matches_psum(self, scene, cam):
+        """ZeRO-1 sharded-optimizer step == replicated-optimizer step."""
+        import optax
+
+        from solr_tpu.parallel import init_zero_opt_state
+
+        mesh = make_mesh(8)
+        target, _ = render_sample(scene, cam, CFG)
+        target = target[..., :3]
+        opt = optax.adam(1e-2)
+
+        params_a = jax.tree.map(lambda x: x, scene.params)
+        step_a, _ = make_sharded_train_step(
+            scene, cam, CFG, mesh, opt, grad_reduce="psum"
+        )
+        state_a = opt.init(params_a)
+
+        params_b = jax.tree.map(lambda x: x, scene.params)
+        step_b, _ = make_sharded_train_step(
+            scene, cam, CFG, mesh, opt, grad_reduce="reduce_scatter"
+        )
+        state_b = init_zero_opt_state(scene, opt, mesh)
+
+        for _ in range(3):
+            params_a, state_a, loss_a = step_a(params_a, state_a, target)
+            params_b, state_b, loss_b = step_b(params_b, state_b, target)
+        assert np.allclose(float(loss_a), float(loss_b), rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            params_a, params_b,
+        )
+
+
+class TestDistributedEntry:
+    def test_single_process_noop(self):
+        from solr_tpu.parallel import initialize_distributed, process_info
+
+        info = initialize_distributed()
+        assert info["process_count"] == 1
+        assert info == process_info()
