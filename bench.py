@@ -1,7 +1,10 @@
 """Headline benchmark: rays/s/chip, primary+secondary, on a BVH triangle
 scene (BASELINE.json north-star: >= 1 Grays/s/chip on 1M tris).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Detailed per-attempt records (roofline, packet diagnostics, fallbacks)
+are appended to bench_metrics.jsonl next to this file (SURVEY.md §5
+observability; VERDICT r02 weak #7).
 
 Ray accounting (matches the north-star's "primary + secondary
 (reflection/refraction/shadow) rays"): every bounce traces 1 closest-hit
@@ -10,6 +13,11 @@ ray per pixel plus 1 shadow ray per light per pixel, so
 This is the work the kernel actually performs (dead rays still occupy
 lanes until compaction lands), identical to how the reference's per-pixel
 loop counts (SURVEY.md section 3.3).
+
+Degradation ladder (VERDICT r02 "never report 0 again"):
+  1. Pallas sweep kernels (the fast path);
+  2. on ANY failure: SOLR_NO_PALLAS=1 -> XLA block path, same scale;
+  3. on failure: shrink the scene (N/5, N/20) and repeat 1-2.
 """
 
 import json
@@ -32,6 +40,9 @@ HEIGHT = int(os.environ.get("SOLR_BENCH_HEIGHT", 512))
 BOUNCES = int(os.environ.get("SOLR_BENCH_BOUNCES", 2))
 REPEATS = int(os.environ.get("SOLR_BENCH_REPEATS", 3))
 BASELINE_RAYS_PER_S = 1.0e9  # north-star: 1 Grays/s/chip
+_METRICS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_metrics.jsonl"
+)
 
 
 def build_scene():
@@ -88,13 +99,97 @@ def build_scene():
         gradient_background=True,
         packet_tile_w=int(os.environ.get("SOLR_BENCH_TILE_W", 16)),
         packet_tile_h=int(os.environ.get("SOLR_BENCH_TILE_H", 16)),
-        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 16)),
-        packet_max_super=int(os.environ.get("SOLR_BENCH_M", 12)),
+        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 32)),
+        packet_max_super=int(os.environ.get("SOLR_BENCH_M", 16)),
     )
     return scene, cam, cfg
 
 
-def _run(n_tris):
+def packet_diagnostics(scene, cam, cfg):
+    """Primary-bounce packet stats: candidate counts, kernel visits,
+    exactness-net ray rate (THE metric whose absence hid the round-2
+    collapse — VERDICT r02 weak #2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from solr_tpu.constants import T_FAR
+    from solr_tpu.ops import packet as pk
+    from solr_tpu.ops.camera import camera_rays
+    from solr_tpu.ops.traverse import _use_pallas
+
+    accel = scene.tri_accel
+    sb = cfg.packet_rays
+
+    @jax.jit
+    def stats(scene, cam):
+        o, d = camera_rays(cam, cfg)
+        perm, _ = pk.tile_permutation(
+            cfg.width, cfg.height, cfg.packet_tile_w, cfg.packet_tile_h
+        )
+        o_t = o[perm].reshape(-1, sb, 3)
+        d_t = d[perm].reshape(-1, sb, 3)
+        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+        mask1, near1 = pk.cull_blocks(
+            po, ro, axis, cos_g,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        # Full (pass-1 + escalation) candidate budget, as the renderer
+        # sees it (traverse._tri_packet_closest).
+        k_tot = cfg.packet_max_blocks + cfg.packet_escalate_blocks
+        cand, counts, _n, near_bound, dropped, _dsup = pk.two_level_select(
+            mask1, near1, accel.block_bounds,
+            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
+            cfg.packet_max_super, k_tot,
+        )
+        real = accel.block_bounds[:, 0] < 1e29
+        bmin = jnp.min(jnp.where(
+            real[:, None],
+            accel.block_bounds[:, 0:3] - accel.block_bounds[:, 3:6],
+            jnp.inf), axis=0)
+        bmax = jnp.max(jnp.where(
+            real[:, None],
+            accel.block_bounds[:, 0:3] + accel.block_bounds[:, 3:6],
+            -jnp.inf), axis=0)
+        t_cap = pk.ray_box_exit(o_t, d_t, bmin, bmax)
+        if _use_pallas():
+            from solr_tpu.ops.pallas_kernels import (
+                make_rays16t, sweep_closest,
+            )
+
+            rays_t = make_rays16t(o_t, d_t, tmax_t=t_cap)
+            bt, _bi, nv = sweep_closest(
+                accel.packed, rays_t, cand, counts, near_bound, 1e-4
+            )
+        else:
+            bt, _bi = pk.tri_blocks_closest(
+                accel.packed, o_t, d_t, cand, counts, 1e-4
+            )
+            nv = counts
+        net = jnp.minimum(bt, t_cap) > dropped[:, None]
+        return (
+            jnp.mean(counts.astype(jnp.float32)),
+            jnp.max(counts),
+            jnp.mean(nv.astype(jnp.float32)),
+            jnp.mean(net.astype(jnp.float32)),
+            jnp.mean((counts > cfg.packet_max_blocks)
+                     .astype(jnp.float32)),
+            jnp.mean((dropped < T_FAR * 0.5).astype(jnp.float32)),
+        )
+
+    (mean_cand, max_cand, mean_visits, net_rate, escalate_rate,
+     drop_rate) = [float(x) for x in jax.device_get(stats(scene, cam))]
+    return {
+        "blocks": int(accel.packed.shape[0]),
+        "mean_candidates": round(mean_cand, 2),
+        "max_candidates": int(max_cand),
+        "mean_visits": round(mean_visits, 2),
+        "net_ray_rate": round(net_rate, 5),
+        "escalate_tile_rate": round(escalate_rate, 4),
+        "tile_drop_rate": round(drop_rate, 4),
+    }
+
+
+def _run(n_tris, metrics):
     """Returns the result dict, or raises on device failure."""
     global N_TRIS
     N_TRIS = n_tris
@@ -104,6 +199,7 @@ def _run(n_tris):
     import numpy as np
 
     from solr_tpu.ops.render import render_sample
+    from solr_tpu.utils.profiling import cost_summary
 
     t0 = time.time()
     scene, cam, cfg = build_scene()
@@ -132,7 +228,7 @@ def _run(n_tris):
     n_lights = scene.lights.position.shape[0]
     rays = cfg.n_pixels * cfg.max_bounces * (1 + n_lights)
     rays_per_s = rays / best
-    return {
+    result = {
         "metric": (
             f"rays/s/chip primary+secondary, {n_tris} tris, "
             f"{WIDTH}x{HEIGHT}x{BOUNCES}b BVH"
@@ -143,28 +239,63 @@ def _run(n_tris):
         "frame_ms": round(best * 1000, 2),
         "compile_s": round(compile_s, 1),
         "scene_build_s": round(build_s, 1),
-        "device": str(__import__("jax").devices()[0]),
+        "pallas": not os.environ.get("SOLR_NO_PALLAS"),
+        "device": str(jax.devices()[0]),
     }
+
+    # Roofline + packet diagnostics: observability, never fatal.
+    try:
+        cost = cost_summary(frame, scene, cam)
+        result["roofline"] = {
+            "flops": cost["flops"],
+            "bytes_accessed": cost["bytes_accessed"],
+            "bound": cost["bound"],
+            "roofline_ms": round(cost["roofline_s"] * 1000, 3),
+        }
+    except Exception as e:  # pragma: no cover
+        result["roofline"] = {"error": str(e)[:120]}
+    try:
+        result["packet"] = packet_diagnostics(scene, cam, cfg)
+    except Exception as e:  # pragma: no cover
+        result["packet"] = {"error": str(e)[:120]}
+    metrics.log(**result)
+    return result
 
 
 def main():
+    from solr_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(_METRICS_PATH)
     sizes = [N_TRIS, N_TRIS // 5, N_TRIS // 20]
     last_err = None
+    result = None
     for n in sizes:
-        try:
-            result = _run(n)
+        for fallback in (False, True):
+            if fallback:
+                os.environ["SOLR_NO_PALLAS"] = "1"
+            try:
+                result = _run(n, metrics)
+                result["fallback_xla"] = fallback
+                break
+            except Exception as e:  # kernel/device fault: degrade
+                last_err = e
+                metrics.log(event="bench_attempt_failed", n_tris=n,
+                            fallback_xla=fallback, error=str(e)[:500])
+                result = None
+            finally:
+                os.environ.pop("SOLR_NO_PALLAS", None)
+        if result is not None:
             break
-        except Exception as e:  # device fault at this scale: shrink
-            last_err = e
-            result = None
     if result is None:
         result = {
             "metric": "bench failed at all scales",
             "value": 0.0,
             "unit": "rays/s",
             "vs_baseline": 0.0,
-            "error": str(last_err)[:200],
+            "error": str(last_err)[:300],
         }
+        metrics.log(**result)
+    metrics.close()
     print(json.dumps(result))
 
 

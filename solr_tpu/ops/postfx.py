@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from solr_tpu.types import Camera, PostFxMode, RenderConfig, Scene
 
-__all__ = ["apply_postfx", "depth_of_field", "ambient_occlusion", "cartoon"]
+__all__ = ["apply_postfx", "depth_of_field", "ambient_occlusion",
+           "cartoon", "enlightment"]
 
 
 def _disk_offsets(samples: int, dtype):
@@ -92,6 +93,39 @@ def cartoon(img, depth, levels: float = 4.0, edge_strength: float = 1.0):
     return jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
 
 
+def enlightment(img, depth, strength: float = 0.6, radius: float = 24.0,
+                samples: int = 32):
+    """Screen-space irradiance bleeding (reference: the
+    radiosity/"enlightment" post pass — upstream accumulates random-ray
+    illumination into the post-processing buffer; the screen-space
+    analog gathers neighborhood radiance, depth-weighted so light only
+    bleeds along continuous surfaces, and adds it as indirect light).
+
+    Properties pinned by tests: a uniform frame brightens uniformly;
+    bright regions bleed onto nearby same-depth pixels; pixels across a
+    large depth discontinuity are unaffected by each other.
+    """
+    h, w = img.shape[:2]
+    dtype = img.dtype
+    offs = _disk_offsets(samples, dtype) * radius
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    z_scale = 0.08 * jnp.abs(depth) + 1e-3
+
+    def tap(off):
+        dy = jnp.round(off[1]).astype(jnp.int32)
+        dx = jnp.round(off[0]).astype(jnp.int32)
+        c = _gather_px(img, ys + dy, xs + dx)
+        z = _gather_px(depth[..., None], ys + dy, xs + dx)[..., 0]
+        wgt = jnp.exp(-((z - depth) / z_scale) ** 2)
+        return c * wgt[..., None], wgt
+
+    cs, ws = jax.vmap(tap)(offs)  # (S, H, W, 4), (S, H, W)
+    indirect = cs.sum(axis=0) / (ws.sum(axis=0)[..., None] + 1e-6)
+    rgb = img[..., :3] + strength * 0.5 * indirect[..., :3]
+    return jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
+
+
 def apply_postfx(
     img,
     depth,
@@ -117,7 +151,5 @@ def apply_postfx(
     if mode == PostFxMode.CARTOON:
         return cartoon(img, depth)
     if mode == PostFxMode.ENLIGHTMENT:
-        # Progressive random-illumination accumulation happens in the
-        # engine's accumulation buffer; the pass itself is identity here.
-        return img
+        return enlightment(img, depth, samples=cfg.postfx.samples)
     raise NotImplementedError(mode)

@@ -23,7 +23,13 @@ __all__ = [
     "sample_texture",
     "procedural_color",
     "value_noise",
+    "tangent_basis",
+    "apply_normal_maps",
 ]
+
+# Bump-map height-gradient gain (reference: the fixed perturbation
+# scale in TextureMapping.cuh's bump branch).
+BUMP_STRENGTH = 2.0
 
 
 def sample_texture(tex: Textures, tex_id, uv):
@@ -64,6 +70,81 @@ def sample_texture(tex: Textures, tex_id, uv):
     bot = c01 * (1 - fx) + c11 * fx
     rgba = top * (1 - fy) + bot * fy
     return jnp.where((tex_id >= 0)[..., None], rgba, 1.0)
+
+
+def tangent_basis(n):
+    """Branchless orthonormal (tangent, bitangent) for unit normals
+    ``n`` (..., 3) — Frisvad's method with Pixar's sign fix.  The frame
+    is continuous except across n_z = 0, which is fine for texture-space
+    perturbation (the reference's bump/normal mapping is likewise an
+    approximate surface frame, not a UV-derivative frame)."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t = jnp.stack([1.0 + sign * nx * nx * a, sign * b, -sign * nx], -1)
+    bt = jnp.stack([b, sign + ny * ny * a, -ny], -1)
+    return t, bt
+
+
+def apply_normal_maps(scene, material, uv, n):
+    """Perturb shading normals by the material's normal and/or bump
+    textures (reference: TextureMapping.cuh — the normal/bump texture
+    slots of Material consumed in advancedTextureMapping; VERDICT r02
+    missing #4).
+
+    * ``texture_normal``: tangent-space RGB map — rgb*2-1 rotated into
+      the (t, b, n) frame.
+    * ``texture_bump``: height map — central-difference gradient of the
+      luminance tilts the normal by BUMP_STRENGTH.
+
+    material (R,) int32; uv (R, 2); n (R, 3) unit shading normals.
+    Returns perturbed unit normals; identity where neither slot is set.
+    """
+    tex = scene.textures
+    if tex.count == 0:
+        return n
+    mats = scene.materials
+    tn = mats.texture_normal[material]
+    tb = mats.texture_bump[material]
+    t, bt = tangent_basis(n)
+    out = n
+
+    rgb = sample_texture(tex, tn, uv)[..., :3] * 2.0 - 1.0
+    nm = (
+        rgb[..., 0:1] * t + rgb[..., 1:2] * bt + rgb[..., 2:3] * n
+    )
+    nm = nm / jnp.sqrt(
+        jnp.maximum(jnp.sum(nm * nm, -1, keepdims=True), 1e-12)
+    )
+    out = jnp.where((tn >= 0)[..., None], nm, out)
+
+    # Bump: luminance height field, central differences at one texel.
+    tid = jnp.clip(tb, 0, tex.count - 1)
+    du = 1.0 / jnp.maximum(tex.width[tid].astype(uv.dtype), 1.0)
+    dv = 1.0 / jnp.maximum(tex.height[tid].astype(uv.dtype), 1.0)
+
+    def height(uv_s):
+        c = sample_texture(tex, tb, uv_s)
+        return (
+            0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+        )
+
+    zero = jnp.zeros_like(du)
+    gu = (
+        height(uv + jnp.stack([du, zero], -1))
+        - height(uv - jnp.stack([du, zero], -1))
+    ) / (2.0 * du)
+    gv = (
+        height(uv + jnp.stack([zero, dv], -1))
+        - height(uv - jnp.stack([zero, dv], -1))
+    ) / (2.0 * dv)
+    bumped = n - BUMP_STRENGTH * (gu[..., None] * t + gv[..., None] * bt)
+    bumped = bumped / jnp.sqrt(
+        jnp.maximum(jnp.sum(bumped * bumped, -1, keepdims=True), 1e-12)
+    )
+    out = jnp.where((tb >= 0)[..., None], bumped, out)
+    return out
 
 
 # --------------------------------------------------------------------------

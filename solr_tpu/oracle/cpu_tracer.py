@@ -148,6 +148,14 @@ def _isect_one(sc: OracleScene, pool, i, o, d, t_min):
                 t_cand > t_min
             )
             res = np.where(ok & (t_cand < res), t_cand, res)
+        # End-cap disks (capped cylinderIntersection).
+        da_ok = np.abs(da) > 1e-12
+        inv_da = np.where(da_ok, 1.0, 0.0) / np.where(da_ok, da, 1.0)
+        for plane_s, center_off in ((0.0, 0.0 * axis), (h2, axis)):
+            tc = (plane_s - oa) * inv_da
+            q = oc + tc[:, None] * d - center_off
+            ok = da_ok & ((q * q).sum(-1) <= r * r) & (tc > t_min)
+            res = np.where(ok & (tc < res), tc, res)
         return res
     if pool == ELLIPSOID:
         cen, rad = sc.ell_c[i], sc.ell_r[i]
@@ -257,8 +265,17 @@ def _surface(sc, pool, idx, p, o, d):
                 foot = p0 + s * axis
                 nn = pt - foot
                 nn = nn / max(np.linalg.norm(nn), 1e-12)
-                n[r] = sn[r] = nn
+                a_hat = axis / np.sqrt(h2)
+                if s < 1e-4:
+                    cap = -a_hat
+                elif s > 1.0 - 1e-4:
+                    cap = a_hat
+                else:
+                    cap = None
                 uv[r] = (np.arctan2(nn[2], nn[0]) / (2 * np.pi) + 0.5, s)
+                if cap is not None:
+                    nn = cap
+                n[r] = sn[r] = nn
                 mat[r] = sc.cyl_m[i]
             elif pl == ELLIPSOID:
                 cen, rad = sc.ell_c[i], sc.ell_r[i]

@@ -498,4 +498,13 @@ class SceneBuilder:
                     scene.triangles, scene.materials
                 )
             )
+        if sph_bvh is not None:
+            # Sphere-pool sweep accel (PDB molecule scenes).
+            from solr_tpu.ops.packet import build_sph_accel
+
+            scene = scene.replace(
+                sph_accel=jax.jit(build_sph_accel)(
+                    scene.spheres, scene.materials
+                )
+            )
         return scene

@@ -263,6 +263,242 @@ class ObjScene(DemoScene):
         self.default_light()
 
 
+@register_scene("terrain")
+class TerrainScene(DemoScene):
+    """Sinusoidal heightfield with mirror spheres — the bench archetype
+    at gallery scale (reference: the landscape/Spindizzy-style demos)."""
+
+    default_camera = dict(position=(0.0, 2.0, -4.0), fov=1.0,
+                          angles=(0.25, 0.0, 0.0))
+
+    def do_initialize(self, res: int = 96):
+        b = self.builder
+        terrain = b.add_material(color=(0.55, 0.5, 0.4, 1.0),
+                                 specular=0.2)
+        mirror = b.add_material(color=(0.9, 0.9, 0.9, 1.0),
+                                reflection=0.6, specular=0.8)
+        extent = 20.0
+
+        def h(x, z):
+            return (
+                2.0 * np.sin(x * 0.25) * np.cos(z * 0.25)
+                + 0.7 * np.sin(x * 1.1 + 2.0) * np.cos(z * 0.9)
+                - 4.0
+            )
+
+        v, f = _height_mesh(res, extent, 5.0, h)
+        b.add_mesh(v, f, terrain)
+        for _ in range(8):
+            x = float(self.rng.uniform(-extent * 0.7, extent * 0.7))
+            z = float(self.rng.uniform(8.0, 5.0 + 1.6 * extent))
+            b.add_sphere((x, -1.5, z), float(self.rng.uniform(0.8, 1.6)),
+                         mirror)
+        b.add_light((0.0, extent, 10.0), intensity=1.0)
+
+
+@register_scene("glass")
+class GlassScene(DemoScene):
+    """Refractive showcase: glass spheres/ellipsoid over a checkerboard
+    (reference: the transparent-scene demos; BASELINE config #3's
+    3-bounce glass chain)."""
+
+    default_camera = dict(position=(0.0, 0.8, -6.0), fov=0.9,
+                          angles=(0.1, 0.0, 0.0))
+
+    def do_initialize(self):
+        b = self.builder
+        self.add_ground(extent=12.0)
+        for i, ior in enumerate((1.1, 1.33, 1.5, 1.8)):
+            g = b.add_material(
+                color=(0.9, 0.95, 1.0, 1.0), transparency=0.9, ior=ior,
+                specular=0.9, specular_power=60.0,
+            )
+            b.add_sphere((-3.0 + 2.0 * i, -0.2, 1.0), 0.8, g)
+        amber = b.add_material(color=(1.0, 0.8, 0.4, 1.0),
+                               transparency=0.85, ior=1.45)
+        b.add_ellipsoid((0.0, -0.55, -1.5), (1.2, 0.45, 0.6), amber)
+        mirror = b.add_material(color=(0.95, 0.95, 0.95, 1.0),
+                                reflection=0.85, specular=0.9)
+        b.add_plane(PlaneAxis.XY, (0.0, 2.0, 6.0), (8.0, 3.0), mirror)
+        self.default_light(position=(4.0, 7.0, -4.0))
+
+
+@register_scene("caustics")
+class CausticsScene(DemoScene):
+    """Glass sphere focusing a tight light onto the floor — the
+    transparent-shadow attenuation path produces the bright caustic
+    disk (reference: CausticScene.cpp [?] / the water-glass demos)."""
+
+    default_camera = dict(position=(0.0, 1.4, -4.5), fov=0.9,
+                          angles=(0.3, 0.0, 0.0))
+
+    def do_initialize(self):
+        b = self.builder
+        floor = b.add_material(color=(0.8, 0.8, 0.75, 1.0))
+        b.add_plane(PlaneAxis.XZ, (0.0, -1.0, 0.0), (8.0, 8.0), floor)
+        glass = b.add_material(color=(0.95, 1.0, 1.0, 1.0),
+                               transparency=0.95, ior=1.5)
+        b.add_sphere((0.0, 0.4, 0.0), 0.9, glass)
+        tinted = b.add_material(color=(0.4, 0.9, 0.5, 1.0),
+                                transparency=0.9, ior=1.4)
+        b.add_sphere((2.0, 0.1, 1.0), 0.6, tinted)
+        b.add_light((0.0, 6.0, -1.0), intensity=1.4, radius=0.05)
+
+
+@register_scene("metaballs")
+class MetaballsScene(DemoScene):
+    """Animated metaballs polygonized by marching tetrahedra
+    (reference: MetaballsScene.cpp).  Per-frame re-polygonization is
+    the reference's morphing-frames pattern: do_animate rebuilds the
+    mesh for each frame."""
+
+    default_camera = dict(position=(0.0, 0.5, -5.0), fov=0.9,
+                          angles=(0.1, 0.0, 0.0))
+
+    n_balls = 4
+
+    def _centers(self, phase: float):
+        t = phase
+        return np.array(
+            [
+                [1.0 * np.sin(t), 0.4 * np.cos(t * 1.3), 0.5 * np.sin(t * 0.7)],
+                [0.9 * np.cos(t * 1.1), 0.5 * np.sin(t * 0.9), 0.4],
+                [0.0, 0.9 * np.sin(t * 0.5), 0.8 * np.cos(t)],
+                [0.6 * np.sin(t * 1.7), -0.4, -0.5 * np.cos(t * 1.2)],
+            ],
+            np.float32,
+        )[: self.n_balls]
+
+    def _build(self, phase: float):
+        b = st.SceneBuilder()
+        ground = b.add_material(
+            color=(0.85, 0.85, 0.85, 1.0),
+            procedural=ProceduralKind.CHECKER, procedural_scale=10.0,
+        )
+        b.add_plane(PlaneAxis.XZ, (0.0, -1.6, 0.0), (10.0, 10.0), ground)
+        blob = b.add_material(color=(0.3, 0.6, 0.9, 1.0), specular=0.8,
+                              specular_power=50.0, reflection=0.2)
+        centers = self._centers(phase)
+        radii = np.full((len(centers),), 0.55, np.float32)
+        v, f = marching_tetrahedra(
+            lambda p: _metaball_field(p, centers, radii),
+            lo=(-2.2, -2.2, -2.2), hi=(2.2, 2.2, 2.2), res=28, iso=1.0,
+        )
+        if len(f):
+            b.add_mesh(v, f, blob)
+        b.add_light((4.0, 7.0, -5.0), intensity=1.1)
+        return b.build()
+
+    def do_initialize(self):
+        # Build frame 0 through the shared builder so self.scene works.
+        self._frame0 = self._build(0.0)
+
+    @property
+    def scene(self):
+        return self._frame0
+
+    def do_animate(self, frame: int):
+        return self._build(frame * 0.35), self.camera
+
+
+def _metaball_field(p, centers, radii):
+    """Classic sum of r_i^2 / |p - c_i|^2 (iso = 1)."""
+    d2 = ((p[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    return (radii[None, :] ** 2 / np.maximum(d2, 1e-9)).sum(-1)
+
+
+# 6 tetrahedra per cube (corner indices into the cube's 8 vertices).
+_TETS = np.array(
+    [
+        [0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
+        [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6],
+    ]
+)
+
+
+def marching_tetrahedra(field, lo, hi, res: int, iso: float = 1.0):
+    """Polygonize an implicit surface on a res^3 grid via marching
+    tetrahedra (host-side numpy; runs once per scene build/frame —
+    the TPU renders the resulting triangles through the normal BVH
+    path).  Returns (verts (V, 3) f32, faces (F, 3) i32)."""
+    axes = [np.linspace(lo[i], hi[i], res + 1, dtype=np.float32)
+            for i in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    vals = field(pts).reshape(res + 1, res + 1, res + 1)
+
+    # Cube corner offsets in (i, j, k).
+    corner = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]]
+    )
+    base = np.stack(
+        np.meshgrid(np.arange(res), np.arange(res), np.arange(res),
+                    indexing="ij"), -1,
+    ).reshape(-1, 1, 3)  # (C, 1, 3)
+    idx = base + corner[None]  # (C, 8, 3)
+    cvals = vals[idx[..., 0], idx[..., 1], idx[..., 2]]  # (C, 8)
+    step = np.array([(hi[i] - lo[i]) / res for i in range(3)],
+                    np.float32)
+    cpos = np.asarray(lo, np.float32) + idx.astype(np.float32) * step
+
+    tris = []
+    tv = cvals[:, _TETS]  # (C, 6, 4)
+    tp = cpos[:, _TETS]  # (C, 6, 4, 3)
+    inside = tv > iso  # (C, 6, 4)
+
+    def interp(pa, va, pb, vb):
+        t = (iso - va) / np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
+        return pa + np.clip(t, 0.0, 1.0)[..., None] * (pb - pa)
+
+    tv = tv.reshape(-1, 4)
+    tp = tp.reshape(-1, 4, 3)
+    inside = inside.reshape(-1, 4)
+    code = (
+        inside[:, 0] * 1 + inside[:, 1] * 2
+        + inside[:, 2] * 4 + inside[:, 3] * 8
+    )
+    # Per-case edge pairs: each case emits 1 or 2 triangles, vertices on
+    # the edges between inside/outside corners.  (a, b) = edge corner
+    # ids; orientation is irrelevant (the renderer flips normals to
+    # oppose the ray).
+    one_tri = {
+        1: (0, [1, 2, 3]), 2: (1, [0, 2, 3]), 4: (2, [0, 1, 3]),
+        8: (3, [0, 1, 2]), 14: (0, [1, 2, 3]), 13: (1, [0, 2, 3]),
+        11: (2, [0, 1, 3]), 7: (3, [0, 1, 2]),
+    }
+    two_tri = {
+        3: ([0, 1], [2, 3]), 5: ([0, 2], [1, 3]), 9: ([0, 3], [1, 2]),
+        6: ([1, 2], [0, 3]), 10: ([1, 3], [0, 2]), 12: ([2, 3], [0, 1]),
+    }
+    for c, (a, outs) in one_tri.items():
+        m = code == c
+        if not m.any():
+            continue
+        pa, va = tp[m, a], tv[m, a]
+        vs = [interp(pa, va, tp[m, o], tv[m, o]) for o in outs]
+        tris.append(np.stack(vs, axis=1))
+    for c, (ins, outs) in two_tri.items():
+        m = code == c
+        if not m.any():
+            continue
+        # Quad with corners e(i0,o0) e(i0,o1) e(i1,o1) e(i1,o0).
+        i0, i1 = ins
+        o0, o1 = outs
+        e00 = interp(tp[m, i0], tv[m, i0], tp[m, o0], tv[m, o0])
+        e01 = interp(tp[m, i0], tv[m, i0], tp[m, o1], tv[m, o1])
+        e11 = interp(tp[m, i1], tv[m, i1], tp[m, o1], tv[m, o1])
+        e10 = interp(tp[m, i1], tv[m, i1], tp[m, o0], tv[m, o0])
+        tris.append(np.stack([e00, e01, e11], axis=1))
+        tris.append(np.stack([e00, e11, e10], axis=1))
+    if not tris:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    tri = np.concatenate(tris, axis=0)  # (F, 3, 3)
+    v = tri.reshape(-1, 3)
+    f = np.arange(len(v)).reshape(-1, 3)
+    return v, f
+
+
 # ---------------------------------------------------------------------------
 # mesh helpers
 

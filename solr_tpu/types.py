@@ -213,7 +213,10 @@ class SceneInfo:
         shadow_intensity=0.8,
         view_distance=1e4,
         fog_start=1e4,
-        soft_shadow_radius=0.0,
+        # Scale on the light-radius jitter for soft shadows.  1.0 =
+        # the light's physical radius drives the penumbra; set 0 to
+        # force hard shadows regardless of cfg.shadow_samples.
+        soft_shadow_radius=1.0,
         gradient_sky_zenith=(0.3, 0.5, 0.8, 1.0),
         gradient_sky_horizon=(0.9, 0.9, 1.0, 1.0),
         dtype=jnp.float32,
@@ -271,24 +274,29 @@ class RenderConfig:
     traversal: str = "auto"  # "auto" | "packet" | "while"
     packet_tile_w: int = 16  # pixel-tile width (packet sub-bundle)
     packet_tile_h: int = 16  # pixel-tile height
-    packet_max_blocks: int = 16  # per-sub-bundle candidate block cap (K)
-    packet_max_super: int = 12  # per-sub-bundle super-block cap (M)
+    packet_max_blocks: int = 32  # per-sub-bundle candidate block cap (K)
+    packet_max_super: int = 24  # per-sub-bundle super-block cap (M)
     packet_exact: bool = True  # fallback-walk rays whose candidate drop
     #                            is not provably safe (exactness net)
+    packet_escalate_blocks: int = 96  # pass-2 sweep cap: tiles whose
+    #   pass-1 result is not provably exact re-sweep their next-nearest
+    #   candidates through the SAME kernel before any per-ray walk
+    #   (VERDICT r02 next-round item 2, option a: cap escalation)
 
     @property
     def packet_rays(self) -> int:
         return self.packet_tile_w * self.packet_tile_h
 
     def packet_spec(self):
-        """(tile_rays, max_blocks, max_super, exact) when packet traversal
-        applies."""
+        """(tile_rays, max_blocks, max_super, exact, escalate_blocks)
+        when packet traversal applies."""
         if self.traversal in ("auto", "packet") and (
             self.width % self.packet_tile_w == 0
             and self.height % self.packet_tile_h == 0
         ):
             return (self.packet_rays, self.packet_max_blocks,
-                    self.packet_max_super, self.packet_exact)
+                    self.packet_max_super, self.packet_exact,
+                    self.packet_escalate_blocks)
         return None
 
     @property
@@ -489,6 +497,7 @@ class Scene:
     sph_bvh: Optional[BVH] = None
     cyl_bvh: Optional[BVH] = None
     tri_accel: Optional[TriAccel] = None
+    sph_accel: Optional[TriAccel] = None  # sphere-pool sweep accel
 
     # ---- differentiable parameter view (north-star gradient targets) ----
 
@@ -524,14 +533,21 @@ class Scene:
         return scene.refresh_accel()
 
     def refresh_accel(self) -> "Scene":
-        """Recompute derived traversal data (TriAccel) after geometry or
-        material mutation.  Jit-safe: pure elementwise/segment math
-        (reference analog: re-running compactBoxes after setPrimitive)."""
-        if self.tri_accel is None:
-            return self
-        from solr_tpu.ops.packet import build_tri_accel
+        """Recompute derived traversal data (tri + sphere accels) after
+        geometry or material mutation.  Jit-safe: pure elementwise/
+        segment math (reference analog: re-running compactBoxes after
+        setPrimitive)."""
+        updates = {}
+        if self.tri_accel is not None:
+            from solr_tpu.ops.packet import build_tri_accel
 
-        accel = jax.lax.stop_gradient(
-            build_tri_accel(self.triangles, self.materials)
-        )
-        return self.replace(tri_accel=accel)
+            updates["tri_accel"] = jax.lax.stop_gradient(
+                build_tri_accel(self.triangles, self.materials)
+            )
+        if self.sph_accel is not None:
+            from solr_tpu.ops.packet import build_sph_accel
+
+            updates["sph_accel"] = jax.lax.stop_gradient(
+                build_sph_accel(self.spheres, self.materials)
+            )
+        return self.replace(**updates) if updates else self

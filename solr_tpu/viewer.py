@@ -75,6 +75,16 @@ def main(argv=None):
     ap.add_argument("--save-irt", default=None,
                     help="also serialize the scene to this .irt path")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="progressive mode: save the accumulation "
+                    "buffer + RNG here every --checkpoint-every samples")
+    ap.add_argument("--checkpoint-every", type=int, default=8)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the progressive render from the "
+                    "latest checkpoint in --checkpoint-dir")
+    ap.add_argument("--metrics", default=None,
+                    help="append per-sample/per-frame metrics JSONL "
+                    "(rays/s, sample index) to this path")
     args = ap.parse_args(argv)
 
     from solr_tpu.scenes import SCENE_REGISTRY, make_scene
@@ -120,19 +130,30 @@ def main(argv=None):
     import jax
 
     from solr_tpu.ops.render import jit_render
+    from solr_tpu.utils.metrics import MetricsLogger, RaysMeter
 
     key = jax.random.PRNGKey(args.seed)
+    metrics = MetricsLogger(args.metrics) if args.metrics else None
+    meter = RaysMeter()
+    n_lights = int(scene.lights.position.shape[0])
+    rays_per_sample = cfg.n_pixels * cfg.max_bounces * (1 + n_lights)
 
     def render_one(scene, camera, key):
-        if args.spp > 1:
-            return jit_render(scene, camera, cfg, key, spp=args.spp)
         return jit_render(scene, camera, cfg, key)
+
+    if args.frames <= 1 and args.spp > 1:
+        _progressive(scene, camera, cfg, key, args, metrics, meter,
+                     rays_per_sample)
+        return
 
     if args.frames <= 1:
         t0 = time.time()
         img = np.asarray(render_one(scene, camera, key))
-        print(f"rendered {args.width}x{args.height} in "
-              f"{time.time() - t0:.1f}s")
+        dt = time.time() - t0
+        print(f"rendered {args.width}x{args.height} in {dt:.1f}s")
+        if metrics:
+            metrics.log(event="still", seconds=round(dt, 3),
+                        rays_per_s=rays_per_sample / dt)
         save_image(args.out, img[..., :3])
         print(f"wrote {args.out}")
         return
@@ -142,10 +163,67 @@ def main(argv=None):
         if demo is not None:
             scene, camera = demo.animate(f)
         key, sub = jax.random.split(key)
+        t0 = time.time()
         img = np.asarray(render_one(scene, camera, sub))
+        rate = meter.tick(rays_per_sample)
         path = os.path.join(args.out, f"frame_{f:04d}.png")
         save_image(path, img[..., :3])
+        if metrics:
+            metrics.log(event="frame", frame=f,
+                        seconds=round(time.time() - t0, 3),
+                        rays_per_s=rate)
         print(f"wrote {path}")
+
+
+def _progressive(scene, camera, cfg, key, args, metrics, meter,
+                 rays_per_sample):
+    """Progressive refinement with resumable accumulation (reference:
+    the pathTracingIteration running average in k_standardRenderer —
+    which upstream RESETS on exit; here the buffer checkpoints so long
+    renders survive preemption, SURVEY.md section 5 checkpoint row)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from solr_tpu.ops.render import accumulate, jit_render
+    from solr_tpu.utils.checkpoint import (
+        CheckpointManager, RenderState, latest_step,
+    )
+
+    cfg = dataclasses.replace(cfg, antialias_jitter=True)
+    accum = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+    start = 0
+    mgr = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir \
+        else None
+    if mgr and args.resume:
+        step = latest_step(args.checkpoint_dir)
+        if step is not None:
+            template = RenderState(params=None, opt_state=None,
+                                   rng_key=key, accum=accum,
+                                   iteration=jnp.int32(0))
+            state, step = mgr.restore(template)
+            accum, key = state.accum, state.rng_key
+            start = int(state.iteration)
+            print(f"resumed progressive render at sample {start}")
+
+    jit_acc = jax.jit(accumulate)
+    for it in range(start, args.spp):
+        key, sub = jax.random.split(key)
+        sample = jit_render(scene, camera, cfg, sub)
+        accum = jit_acc(accum, sample, it)
+        rate = meter.tick(rays_per_sample)
+        if metrics:
+            metrics.log(event="progressive", sample=it + 1,
+                        rays_per_s=rate)
+        if mgr and (it + 1) % args.checkpoint_every == 0:
+            mgr.save(it + 1, RenderState(
+                params=None, opt_state=None, rng_key=key, accum=accum,
+                iteration=jnp.int32(it + 1),
+            ))
+    img = np.asarray(accum)
+    save_image(args.out, img[..., :3])
+    print(f"wrote {args.out} ({args.spp} samples)")
 
 
 if __name__ == "__main__":

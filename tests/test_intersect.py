@@ -107,13 +107,23 @@ class TestCylinder:
         )
         assert t[0, 0] > T_FAR * 0.5
 
-    def test_axis_parallel_ray_misses(self):
+    def test_axis_parallel_ray_hits_cap(self):
         o, d = _ray((0, -3, 0), (0, 1, 0))
         t = isect.cylinder_t(
             o, d, jnp.array([[0.0, 0, 0]]), jnp.array([[0.0, 2, 0]]),
             jnp.array([1.0]), EPS,
         )
-        # Parallel to the axis inside the tube: side surface never hit.
+        # Parallel to the axis inside the tube: the side surface is
+        # never hit, but the p0 END CAP is (capped cylinderIntersection,
+        # round 3) — at y = 0, i.e. t = 3.
+        np.testing.assert_allclose(float(t[0, 0]), 3.0, rtol=1e-5)
+
+    def test_axis_parallel_ray_outside_radius_misses(self):
+        o, d = _ray((2.5, -3, 0), (0, 1, 0))
+        t = isect.cylinder_t(
+            o, d, jnp.array([[0.0, 0, 0]]), jnp.array([[0.0, 2, 0]]),
+            jnp.array([1.0]), EPS,
+        )
         assert t[0, 0] > T_FAR * 0.5
 
 

@@ -145,7 +145,8 @@ class TestTwoLevelCull:
             po, ro, axis, cos_g,
             accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
         )
-        cand, counts, near_sorted, near_bound, dropped = pk.two_level_select(
+        cand, counts, near_sorted, near_bound, dropped, _dsup = \
+            pk.two_level_select(
             mask1, near1, accel.block_bounds,
             lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
             cfg.packet_max_super, cfg.packet_max_blocks,

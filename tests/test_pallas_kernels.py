@@ -1,6 +1,8 @@
-"""Pallas slab kernels vs the XLA block path, in interpret mode
-(SURVEY.md section 5: interpret mode is the kernel "sanitizer" — the
-same kernel code compiled on TPU is exercised here on CPU)."""
+"""Pallas sweep kernels vs the XLA block path, in interpret mode
+(SURVEY.md section 5: interpret mode is the kernel "sanitizer").  The
+SAME kernels are additionally compiled and run on real hardware by
+tests/test_tpu_smoke.py — round 2 proved interpret-green != TPU-green,
+so CPU interpret coverage alone is no longer the gate."""
 
 import jax
 import jax.numpy as jnp
@@ -11,9 +13,9 @@ import solr_tpu as st
 from solr_tpu.ops import packet as pk
 from solr_tpu.ops.camera import camera_rays
 from solr_tpu.ops.pallas_kernels import (
-    make_rays16,
-    slab_closest_pallas,
-    slab_transmittance_pallas,
+    make_rays16t,
+    sweep_closest,
+    sweep_transmittance,
 )
 
 from scenes_fixtures import random_tri_field
@@ -36,23 +38,24 @@ def setup():
     mask1, near1 = pk.cull_blocks(
         po, ro, axis, cos_g, accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6]
     )
-    cand, counts, near_sorted, near_bound, dropped = pk.two_level_select(
+    cand, counts, near_sorted, near_bound, dropped, _dsup = \
+        pk.two_level_select(
         mask1, near1, accel.block_bounds,
         lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg), 8, K,
     )
-    slab = jnp.take(accel.packed, cand, axis=0)
-    return accel, o_t, d_t, slab, cand, counts, near_bound
+    return accel, o_t, d_t, cand, counts, near_bound
 
 
 class TestClosest:
     def test_matches_xla_packet(self, setup):
-        accel, o_t, d_t, slab, cand, counts, near_bound = setup
+        accel, o_t, d_t, cand, counts, near_bound = setup
         t_x, i_x = pk.tri_blocks_closest(
             accel.packed, o_t, d_t, cand, counts, 1e-4
         )
-        rays16 = make_rays16(o_t, d_t)
-        t_p, i_p = slab_closest_pallas(
-            slab, rays16, cand, counts, near_bound, 1e-4, interpret=True
+        rays_t = make_rays16t(o_t, d_t)
+        t_p, i_p, nv = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True,
         )
         np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x),
                                    rtol=1e-6)
@@ -60,33 +63,157 @@ class TestClosest:
         np.testing.assert_array_equal(
             np.asarray(i_p)[hit], np.asarray(i_x)[hit]
         )
+        # Early-out must have skipped something on this front-to-back
+        # workload, and never visited more than the candidate count.
+        nv = np.asarray(nv)
+        assert (nv <= np.asarray(counts)).all()
 
     def test_early_out_does_not_change_result(self, setup):
         """Early termination must be conservative: compare against a run
         where the near bounds are all zero (no skipping possible)."""
-        accel, o_t, d_t, slab, cand, counts, near_bound = setup
-        rays16 = make_rays16(o_t, d_t)
-        t_e, _ = slab_closest_pallas(
-            slab, rays16, cand, counts, near_bound, 1e-4, interpret=True
-        )
-        t_n, _ = slab_closest_pallas(
-            slab, rays16, cand, counts, jnp.zeros_like(near_bound), 1e-4,
+        accel, o_t, d_t, cand, counts, near_bound = setup
+        rays_t = make_rays16t(o_t, d_t)
+        t_e, _, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
             interpret=True,
+        )
+        t_n, _, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts,
+            jnp.zeros_like(near_bound), 1e-4, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(t_e), np.asarray(t_n),
                                    rtol=1e-6)
 
+    def test_chunked_matches_unchunked(self, setup):
+        """The lax.map tile chunking (SMEM guard) must be invisible."""
+        accel, o_t, d_t, cand, counts, near_bound = setup
+        rays_t = make_rays16t(o_t, d_t)
+        t_1, i_1, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True,
+        )
+        t_c, i_c, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True, chunk=3,  # forces padding + 6 chunks of 16
+        )
+        np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_1),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_1))
+
+    def test_parked_rays_excluded_from_cutoff(self, setup):
+        """A tile of parked rays (live=0) must not stall the early-out:
+        live flags come from rays_t row 9."""
+        accel, o_t, d_t, cand, counts, near_bound = setup
+        live = jnp.zeros(o_t.shape[:2], jnp.float32)  # all parked
+        rays_t = make_rays16t(o_t, d_t, live_t=live)
+        t_p, i_p, nv = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True,
+        )
+        # cutoff = max over live = 0 -> every candidate skipped.
+        assert int(np.asarray(nv).sum()) == 0
+        assert (np.asarray(i_p) == -1).all()
+
+
+class TestSphereSweep:
+    """Sphere-pool sweep (PDB molecule path) vs the XLA block path."""
+
+    @pytest.fixture(scope="class")
+    def sph_setup(self):
+        from scenes_fixtures import random_sphere_field
+
+        scene = random_sphere_field(900).build(bvh_threshold=64)
+        accel = scene.sph_accel
+        assert accel is not None
+        cfg = st.RenderConfig(width=64, height=64)
+        o, d = camera_rays(CAM, cfg)
+        perm, _ = pk.tile_permutation(64, 64, 16, 16)
+        o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
+        d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
+        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+        mask1, near1 = pk.cull_blocks(
+            po, ro, axis, cos_g,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        cand, counts, _ns, near_bound, _d, _ds = pk.two_level_select(
+            mask1, near1, accel.block_bounds,
+            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg), 8, K,
+        )
+        return accel, o_t, d_t, cand, counts, near_bound
+
+    def test_closest_matches_xla(self, sph_setup):
+        accel, o_t, d_t, cand, counts, near_bound = sph_setup
+        t_x, i_x = pk.tri_blocks_closest(
+            accel.packed, o_t, d_t, cand, counts, 1e-4, prim="sphere"
+        )
+        rays_t = make_rays16t(o_t, d_t)
+        t_p, i_p, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True, prim="sphere",
+        )
+        t_x, t_p = np.asarray(t_x), np.asarray(t_p)
+        hit = t_x < 1e30
+        assert hit.any()
+        np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(i_p)[hit], np.asarray(i_x)[hit]
+        )
+
+    def test_transmittance_matches_xla(self, sph_setup):
+        accel, o_t, d_t, cand, counts, near_bound = sph_setup
+        t_max = jnp.full(o_t.shape[:2], 40.0, jnp.float32)
+        tr_x = pk.tri_blocks_transmittance(
+            accel.packed, o_t, d_t, t_max, cand, counts, 1e-4,
+            prim="sphere",
+        )
+        rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
+        tr_p, _ = sweep_transmittance(
+            accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
+            prim="sphere",
+        )
+        np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_x),
+                                   atol=1e-6)
+
+    def test_sphere_blocks_match_bruteforce(self, sph_setup):
+        """The sphere block test (XLA form) vs isect.sphere_t over every
+        sphere — pins the packed layout + intersection math."""
+        from solr_tpu.ops import intersect as isect
+        from scenes_fixtures import random_sphere_field
+
+        scene = random_sphere_field(900).build(bvh_threshold=64)
+        accel, o_t, d_t, _c, _n, _nb = sph_setup
+        nb = accel.packed.shape[0]
+        allcand = jnp.broadcast_to(
+            jnp.arange(nb, dtype=jnp.int32)[None], (o_t.shape[0], nb)
+        )
+        counts = jnp.full((o_t.shape[0],), nb, jnp.int32)
+        t_blk, i_blk = pk.tri_blocks_closest(
+            accel.packed, o_t, d_t, allcand, counts, 1e-4, prim="sphere"
+        )
+        o_f = o_t.reshape(-1, 3)
+        d_f = d_t.reshape(-1, 3)
+        t_ref = isect.sphere_t(
+            o_f, d_f, scene.spheres.center, scene.spheres.radius, 1e-4
+        ).min(axis=-1)
+        # rtol 5e-4: f32 accumulation-order noise between the block
+        # form and isect.sphere_t; hit SELECTION is what matters (the
+        # renderer recomputes exact t for the winner — traverse.
+        # _recompute_t).
+        np.testing.assert_allclose(
+            np.asarray(t_blk).reshape(-1), np.asarray(t_ref), rtol=5e-4
+        )
+
 
 class TestTransmittance:
     def test_matches_xla_packet(self, setup):
-        accel, o_t, d_t, slab, cand, counts, near_bound = setup
+        accel, o_t, d_t, cand, counts, near_bound = setup
         t_max = jnp.full(o_t.shape[:2], 50.0, jnp.float32)
         tr_x = pk.tri_blocks_transmittance(
             accel.packed, o_t, d_t, t_max, cand, counts, 1e-4
         )
-        rays16 = make_rays16(o_t, d_t, t_max)
-        tr_p = slab_transmittance_pallas(
-            slab, rays16, counts, 1e-4, interpret=True
+        rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
+        tr_p, _ = sweep_transmittance(
+            accel.packed, rays_t, cand, counts, 1e-4, interpret=True
         )
         np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_x),
                                    rtol=1e-6)
