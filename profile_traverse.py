@@ -53,7 +53,7 @@ def main():
                                  cfg.packet_tile_w, cfg.packet_tile_h)
     o, d = o[perm], d[perm]
     spec = cfg.packet_spec()
-    tile_rays, max_blocks = spec
+    tile_rays, max_blocks = spec[0], spec[1]
 
     # (a) block_pack
     bp = jax.jit(lambda tris: pk.block_pack(tris))

@@ -520,28 +520,31 @@ def scene_transmittance(
             and len(r_shape) >= 1
             and r_shape[0] % packet[0] == 0
         )
+        # Detached INPUTS, not just outputs: under jax.grad/jvp a
+        # tangent-carrying operand would still be traced INTO the
+        # while_loop walk / Pallas sweep, and pallas_call has no JVP
+        # rule (NotImplementedError at lowering — found by
+        # tools/aot_overlap_check.py).  Detaching the operands makes
+        # the tangents symbolic zeros so differentiation never enters.
+        # Within fixed topology the only continuous dependence lost is
+        # occluder material transparency; that gradient survives
+        # through the brute-force path used by small pools and is
+        # deliberately dropped for accelerated pools (not in the
+        # north-star param set).
+        sg = jax.lax.stop_gradient
         if packet_ok and (
             code == POOL_TRIANGLE
             or (code == POOL_SPHERE and scene.sph_accel is not None)
         ):
             prim = "tri" if code == POOL_TRIANGLE else "sphere"
-            trans = trans * jax.lax.stop_gradient(
-                _tri_packet_transmittance(
-                    scene, o, d, t_max, t_min, packet, prim=prim
-                )
+            trans = trans * _tri_packet_transmittance(
+                sg(scene), sg(o), sg(d), sg(t_max), t_min, packet,
+                prim=prim,
             )
             continue
         if bvh is not None:
-            # Detached: shadow topology is discrete and the while_loop
-            # walk has no reverse rule.  Within fixed topology the only
-            # continuous dependence is occluder material transparency;
-            # that gradient survives through the brute-force path used
-            # by small pools and is deliberately dropped for
-            # BVH-accelerated pools (not in the north-star param set).
-            trans = trans * jax.lax.stop_gradient(
-                bvh_mod.bvh_transmittance(
-                    scene, bvh, code, o, d, t_min, t_max
-                )
+            trans = trans * bvh_mod.bvh_transmittance(
+                sg(scene), bvh, code, sg(o), sg(d), t_min, sg(t_max)
             )
             continue
 

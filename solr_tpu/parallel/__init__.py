@@ -21,6 +21,7 @@ from solr_tpu.parallel.mesh import (
     make_mesh,
 )
 from solr_tpu.parallel.render import shard_render
+from solr_tpu.parallel.ring import ring_closest_hit, shard_triangles
 from solr_tpu.parallel.grads import (
     init_zero_opt_state,
     make_sharded_train_step,

@@ -14,11 +14,19 @@ loop.  Structure:
         is `psum_scatter`'d so each device reduces only its 1/N shard —
         half the collective traffic of an all-reduce — and the optimizer
         update runs ON THE SHARD (ZeRO-1 style: sharded Adam moments),
-        followed by one all-gather of the UPDATED parameters.  Inside
-        one jitted computation XLA's latency-hiding scheduler issues the
-        scatter as an async collective that overlaps the remaining
-        backward work (grads for early bounce parameters are ready while
-        later backward segments still compute).
+        followed by one all-gather of the UPDATED parameters.
+
+        Scheduling reality (measured — see OVERLAP.md and
+        tools/aot_overlap_check.py, which AOT-compiles this step for an
+        8-chip v5e topology and inspects the optimized HLO): at scene-
+        parameter scales (10^3..10^6 floats) XLA fuses the scatter +
+        sharded-update + gather into synchronous all-reduces and does
+        NOT async-overlap them with backward compute, because the
+        collective is microseconds against a backward render pass that
+        re-traverses the scene per bounce.  Nothing in the program
+        structure prevents the scheduler from splitting the collective
+        into async start/done pairs when parameter counts make that
+        profitable.
 
 The two modes are numerically equivalent (tested on the 8-device CPU
 mesh): psum-then-update == scatter-update-gather because Adam is

@@ -212,3 +212,44 @@ class TestDistributedEntry:
         info = initialize_distributed()
         assert info["process_count"] == 1
         assert info == process_info()
+
+
+class TestRingMode:
+    """Geometry-sharded ring traversal (SURVEY §2.4 SP-analog stretch):
+    shards rotate via ppermute while rays stay put; results must equal
+    the replicated brute-force sweep exactly."""
+
+    def test_matches_replicated(self):
+        import numpy as np
+
+        from scenes_fixtures import random_tri_field
+        from solr_tpu.ops import intersect as isect
+        from solr_tpu.parallel import ring_closest_hit
+        from solr_tpu.parallel.mesh import make_mesh
+
+        scene = random_tri_field(500).build(bvh_threshold=10**9)
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(rng.uniform(-2, 2, (512, 3)).astype(np.float32))
+        o = o.at[:, 2].set(-20.0)
+        d = rng.normal(size=(512, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) * 6 + 2
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+        t_r, i_r = jax.jit(
+            lambda o, d: ring_closest_hit(scene, o, d, mesh)
+        )(o, d)
+        tm = isect.triangle_t(
+            o, d, scene.triangles.v0, scene.triangles.v1,
+            scene.triangles.v2, 1e-4,
+        )
+        t_ref = tm.min(axis=-1)
+        i_ref = jnp.argmin(tm, axis=-1)
+        hit = np.asarray(t_ref) < 1e30
+        assert hit.sum() > 20
+        np.testing.assert_allclose(
+            np.asarray(t_r)[hit], np.asarray(t_ref)[hit], rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_r)[hit], np.asarray(i_ref)[hit]
+        )

@@ -48,3 +48,34 @@ def test_viewer_list(capsys):
     main(["--list"])
     out = capsys.readouterr().out
     assert "cornell" in out and "water" in out
+
+
+def test_engine_frame_morphing():
+    """Engine.set_nb_frames/next_frame morph between keyframe scenes
+    (reference: GPUKernel::setNbFrames/nextFrame morphing)."""
+    import numpy as np
+
+    import solr_tpu as st
+    from solr_tpu.engine import morph_scenes
+
+    def make(z):
+        b = st.SceneBuilder()
+        m = b.add_material(color=(0.8, 0.3, 0.2, 1))
+        b.add_sphere((0, 0, z), 1.0, m)
+        b.add_light((3, 6, -3))
+        return b.build()
+
+    a, b = make(2.0), make(5.0)
+    eng = st.Engine(config=st.RenderConfig(width=16, height=16,
+                                           max_bounces=1))
+    eng.set_nb_frames(4)
+    eng.set_keyframes(a, b)
+    zs = [float(eng.next_frame().spheres.center[0, 2]) for _ in range(4)]
+    assert zs == [3.0, 4.0, 5.0, 2.0]  # lerp then wrap to frame 0
+
+    mid = morph_scenes(a, b, 0.5)
+    np.testing.assert_allclose(float(mid.spheres.center[0, 2]), 3.5)
+    # Integer leaves untouched.
+    assert mid.spheres.material.dtype == a.spheres.material.dtype
+    img = np.asarray(st.render(mid, eng.camera, eng.config))
+    assert np.isfinite(img).all()
