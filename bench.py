@@ -18,10 +18,16 @@ Degradation ladder (VERDICT r02 "never report 0 again"):
   1. Pallas sweep kernels (the fast path);
   2. on ANY failure: SOLR_NO_PALLAS=1 -> XLA block path, same scale;
   3. on failure: shrink the scene (N/5, N/20) and repeat 1-2.
+
+Each attempt runs in its OWN subprocess: a TPU worker crash ("UNAVAILABLE:
+TPU worker process crashed") kills the JAX client for the whole process,
+so an in-process ladder would report the first crash six times (observed
+in round 3's first run) — isolation is what makes the ladder real.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -262,28 +268,64 @@ def _run(n_tris, metrics):
     return result
 
 
+def _attempt_main():
+    """Single attempt, in-process (invoked as `bench.py --attempt` by
+    main's subprocess ladder).  Prints one JSON line on success."""
+    from solr_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(_METRICS_PATH)
+    result = _run(N_TRIS, metrics)
+    result["fallback_xla"] = bool(os.environ.get("SOLR_NO_PALLAS"))
+    metrics.close()
+    print("SOLR_BENCH_RESULT " + json.dumps(result))
+
+
 def main():
     from solr_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(_METRICS_PATH)
     sizes = [N_TRIS, N_TRIS // 5, N_TRIS // 20]
+    attempt_cap = int(os.environ.get("SOLR_BENCH_ATTEMPT_TIMEOUT", 1500))
+    total_cap = int(os.environ.get("SOLR_BENCH_TOTAL_TIMEOUT", 5400))
+    t_start = time.time()
     last_err = None
     result = None
     for n in sizes:
         for fallback in (False, True):
-            if fallback:
-                os.environ["SOLR_NO_PALLAS"] = "1"
-            try:
-                result = _run(n, metrics)
-                result["fallback_xla"] = fallback
+            remaining = total_cap - (time.time() - t_start)
+            if remaining < 120:
+                last_err = last_err or "total bench budget exhausted"
                 break
-            except Exception as e:  # kernel/device fault: degrade
-                last_err = e
-                metrics.log(event="bench_attempt_failed", n_tris=n,
-                            fallback_xla=fallback, error=str(e)[:500])
-                result = None
-            finally:
-                os.environ.pop("SOLR_NO_PALLAS", None)
+            timeout_s = int(min(attempt_cap, remaining))
+            env = dict(os.environ, SOLR_BENCH_TRIS=str(n))
+            if fallback:
+                env["SOLR_NO_PALLAS"] = "1"
+            else:
+                env.pop("SOLR_NO_PALLAS", None)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--attempt"],
+                    env=env, capture_output=True, text=True,
+                    timeout=timeout_s,
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("SOLR_BENCH_RESULT "):
+                        result = json.loads(
+                            line[len("SOLR_BENCH_RESULT "):]
+                        )
+                        break
+                if result is None:
+                    last_err = (
+                        f"exit {proc.returncode}: "
+                        + proc.stderr.strip()[-500:]
+                    )
+            except subprocess.TimeoutExpired:
+                last_err = f"attempt timed out after {timeout_s}s"
+            if result is not None:
+                break
+            metrics.log(event="bench_attempt_failed", n_tris=n,
+                        fallback_xla=fallback, error=str(last_err)[:600])
         if result is not None:
             break
     if result is None:
@@ -300,4 +342,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--attempt" in sys.argv:
+        _attempt_main()
+    else:
+        main()

@@ -499,6 +499,302 @@ def marching_tetrahedra(field, lo, hi, res: int, iso: float = 1.0):
     return v, f
 
 
+@register_scene("neuron")
+class NeuronScene(DemoScene):
+    """Procedural neuron morphology: soma sphere + recursively branching
+    dendrites as sphere-jointed cylinder segments — the geometry an SWC
+    import produces (reference: SWCReader / the neuron demos; the file
+    path is solr_tpu.io.swc.load_swc)."""
+
+    default_camera = dict(position=(0.0, 0.5, -7.0), fov=0.9)
+
+    def do_initialize(self):
+        b = self.builder
+        soma = b.add_material(color=(0.85, 0.45, 0.35, 1.0),
+                              specular=0.3)
+        dend = b.add_material(color=(0.75, 0.6, 0.4, 1.0), specular=0.3)
+        axon = b.add_material(color=(0.4, 0.55, 0.8, 1.0), specular=0.3)
+        b.add_sphere((0.0, 0.0, 0.0), 0.55, soma)
+
+        def grow(pos, direction, radius, depth, mat):
+            if depth == 0 or radius < 0.02:
+                return
+            length = float(self.rng.uniform(0.7, 1.3))
+            end = pos + direction * length
+            b.add_cylinder(tuple(pos), tuple(end), radius, mat)
+            b.add_sphere(tuple(end), radius, mat)
+            n_child = 2 if self.rng.uniform() < 0.7 else 1
+            for _ in range(n_child):
+                d2 = direction + self.rng.normal(0.0, 0.45, 3)
+                d2 = d2 / np.linalg.norm(d2)
+                grow(end, d2, radius * 0.72, depth - 1, mat)
+
+        for k in range(5):
+            ang = 2 * np.pi * k / 5.0
+            d0 = np.array([np.cos(ang), 0.5 * np.sin(2 * ang),
+                           np.sin(ang)])
+            d0 = d0 / np.linalg.norm(d0)
+            grow(np.zeros(3), d0, 0.14, 4, dend)
+        grow(np.array([0.0, -0.4, 0.0]), np.array([0.0, -1.0, 0.0]),
+             0.1, 5, axon)
+        self.default_light(position=(4.0, 8.0, -6.0), intensity=1.2)
+
+
+@register_scene("spindizzy")
+class SpindizzyScene(DemoScene):
+    """Isometric terraced block landscape with a mirror ball (reference:
+    SpindizzyScene.cpp — the 8-bit game homage)."""
+
+    default_camera = dict(position=(6.0, 6.5, -6.0), fov=0.8,
+                          angles=(0.62, -0.785, 0.0))
+
+    def do_initialize(self):
+        b = self.builder
+        n = 7
+        palette = [
+            b.add_material(color=(0.8, 0.5, 0.45, 1.0), specular=0.3),
+            b.add_material(color=(0.45, 0.7, 0.5, 1.0), specular=0.3),
+            b.add_material(color=(0.5, 0.55, 0.8, 1.0), specular=0.3),
+        ]
+        mirror = b.add_material(color=(0.95, 0.95, 0.95, 1.0),
+                                reflection=0.8, specular=0.9)
+        half = 0.5
+        for i in range(n):
+            for j in range(n):
+                h = 0.25 + 0.5 * (
+                    np.sin(i * 0.9) * np.cos(j * 1.1) * 0.5 + 0.5
+                ) + 0.35 * ((i + j) % 3 == 0)
+                v, f = _box_mesh(
+                    ((i - n // 2) * 1.0, h / 2.0 - 1.0,
+                     (j - n // 2) * 1.0),
+                    half, height=h / 2.0,
+                )
+                b.add_mesh(v, f, palette[(i * n + j) % 3])
+        b.add_sphere((0.0, 1.0, 0.0), 0.45, mirror)
+        self.default_light(position=(6.0, 10.0, -8.0), intensity=1.2)
+
+
+@register_scene("xmas")
+class XmasScene(DemoScene):
+    """Christmas tree: stacked cone tiers from tapering cylinder rings,
+    glass ornaments, emissive star (reference: XmasScene.cpp)."""
+
+    default_camera = dict(position=(0.0, 1.0, -6.5), fov=0.9,
+                          angles=(0.08, 0.0, 0.0))
+
+    def do_initialize(self):
+        b = self.builder
+        self.add_ground(y=-1.4, extent=10.0, checker=False)
+        needles = b.add_material(color=(0.1, 0.45, 0.15, 1.0),
+                                 specular=0.2)
+        trunk = b.add_material(color=(0.4, 0.25, 0.12, 1.0))
+        star = b.add_material(color=(1.0, 0.9, 0.4, 1.0), emission=1.5)
+        b.add_cylinder((0.0, -1.4, 0.0), (0.0, -0.4, 0.0), 0.18, trunk)
+        # Tiers: wide-to-narrow stacks of short cylinders approximate
+        # the cone silhouette.
+        y = -0.5
+        for tier in range(4):
+            r0 = 1.5 - 0.3 * tier
+            for s in range(4):
+                r = r0 * (1.0 - 0.2 * s)
+                b.add_cylinder((0.0, y, 0.0), (0.0, y + 0.22, 0.0), r,
+                               needles)
+                y += 0.22
+            y -= 0.35
+        b.add_sphere((0.0, y + 0.45, 0.0), 0.22, star)
+        colors = [(0.9, 0.2, 0.2), (0.2, 0.4, 0.9), (0.95, 0.8, 0.2)]
+        for k in range(12):
+            ang = 2 * np.pi * k / 12.0
+            tier = k % 4
+            r0 = 1.45 - 0.3 * tier
+            yk = -0.35 + 0.53 * tier
+            mat = b.add_material(color=colors[k % 3] + (1.0,),
+                                 specular=0.9, specular_power=60.0,
+                                 reflection=0.25)
+            b.add_sphere((r0 * np.cos(ang), yk, r0 * np.sin(ang)),
+                         0.14, mat)
+        self.default_light(position=(4.0, 8.0, -6.0), intensity=1.0)
+        b.add_light((0.0, y + 0.45, 0.0),
+                    color=(1.0, 0.95, 0.7, 1.0), intensity=0.5)
+
+
+@register_scene("perpetual")
+class PerpetualMotionScene(DemoScene):
+    """Newton's cradle: five mirror spheres on cylinder wires; the end
+    spheres swing per frame (reference: PerpetualMotionScene.cpp —
+    do_animate drives the phase)."""
+
+    default_camera = dict(position=(0.0, 0.4, -5.5), fov=0.9)
+
+    n_balls = 5
+
+    def _build(self, phase: float):
+        b = st.SceneBuilder()
+        frame_mat = b.add_material(color=(0.6, 0.6, 0.65, 1.0),
+                                   specular=0.7)
+        chrome = b.add_material(color=(0.95, 0.95, 0.95, 1.0),
+                                reflection=0.7, specular=0.9,
+                                specular_power=80.0)
+        floor = b.add_material(
+            color=(0.85, 0.85, 0.85, 1.0),
+            procedural=ProceduralKind.CHECKER, procedural_scale=8.0,
+        )
+        b.add_plane(PlaneAxis.XZ, (0.0, -1.6, 0.0), (8.0, 8.0), floor)
+        top_y, r, sp = 1.4, 0.32, 0.66
+        b.add_cylinder((-2.2, top_y, 0.0), (2.2, top_y, 0.0), 0.05,
+                       frame_mat)
+        swing = np.sin(phase)
+        for i in range(self.n_balls):
+            x0 = (i - self.n_balls // 2) * sp
+            ang = 0.0
+            if i == 0 and swing < 0.0:
+                ang = 0.9 * swing
+            elif i == self.n_balls - 1 and swing > 0.0:
+                ang = 0.9 * swing
+            l_len = top_y - (-0.2)
+            x = x0 + l_len * np.sin(ang)
+            y = top_y - l_len * np.cos(ang)
+            b.add_cylinder((x0, top_y, 0.0), (x, y, 0.0), 0.02,
+                           frame_mat)
+            b.add_sphere((x, y, 0.0), r, chrome)
+        b.add_light((3.0, 6.0, -5.0), intensity=1.2)
+        return b.build()
+
+    def do_initialize(self):
+        self._frame0 = self._build(0.0)
+
+    @property
+    def scene(self):
+        return self._frame0
+
+    def do_animate(self, frame: int):
+        return self._build(frame * 0.5), self.camera
+
+
+@register_scene("year")
+class YearScene(DemoScene):
+    """Block-letter year digits built from cube meshes over a mirror
+    floor (reference: Year2013.cpp)."""
+
+    default_camera = dict(position=(0.0, 0.6, -7.0), fov=0.9)
+
+    # 3x5 digit bitmaps.
+    DIGITS = {
+        "0": ["111", "101", "101", "101", "111"],
+        "2": ["111", "001", "111", "100", "111"],
+        "6": ["111", "100", "111", "101", "111"],
+    }
+
+    def do_initialize(self, text: str = "2026"):
+        b = self.builder
+        floor = b.add_material(color=(0.9, 0.9, 0.9, 1.0),
+                               reflection=0.4, specular=0.6)
+        b.add_plane(PlaneAxis.XZ, (0.0, -1.3, 0.0), (9.0, 6.0), floor)
+        s = 0.42
+        x0 = -0.5 * (len(text) * 4 - 1) * s
+        for ci, ch in enumerate(text):
+            rows = self.DIGITS.get(ch)
+            if rows is None:
+                continue
+            mat = b.add_material(
+                color=tuple(self.rng.uniform(0.4, 0.95, 3)) + (1.0,),
+                specular=0.5,
+            )
+            for r_i, row in enumerate(rows):
+                for c_i, bit in enumerate(row):
+                    if bit == "1":
+                        v, f = _box_mesh(
+                            (x0 + (ci * 4 + c_i) * s,
+                             (4 - r_i) * s - 1.0, 0.0),
+                            s * 0.48,
+                        )
+                        b.add_mesh(v, f, mat)
+        self.default_light(position=(3.0, 7.0, -6.0), intensity=1.2)
+
+
+@register_scene("carpet")
+class MagicCarpetScene(DemoScene):
+    """Undulating textured sheet floating over a canyon — the magic
+    carpet primitive family (reference: ptMagicCarpet; here a rippled
+    height mesh re-morphed per frame)."""
+
+    default_camera = dict(position=(0.0, 1.6, -6.0), fov=0.9,
+                          angles=(0.25, 0.0, 0.0))
+
+    def _build(self, phase: float):
+        b = st.SceneBuilder()
+        carpet = b.add_material(
+            color=(0.7, 0.25, 0.3, 1.0),
+            procedural=ProceduralKind.JULIA, procedural_scale=3.0,
+            specular=0.3,
+        )
+        sand = b.add_material(color=(0.75, 0.65, 0.45, 1.0))
+
+        def ripple(x, z):
+            return (
+                0.25 * np.sin(2.0 * x + 2.5 * phase)
+                * np.cos(1.5 * z + 1.7 * phase)
+            )
+
+        v, f = _height_mesh(14, 2.2, -2.2, ripple)
+        v = v[:, [0, 1, 2]].copy()
+        v[:, 2] += 2.2  # recentre ahead of the camera
+        b.add_mesh(v, f, carpet)
+
+        def dunes(x, z):
+            return (
+                0.7 * np.sin(x * 0.7) * np.cos(z * 0.6) - 2.6
+            )
+
+        dv, df = _height_mesh(20, 8.0, -8.0, dunes)
+        dv[:, 2] += 8.0
+        b.add_mesh(dv, df, sand)
+        b.add_light((4.0, 8.0, -5.0), intensity=1.2)
+        return b.build()
+
+    def do_initialize(self):
+        self._frame0 = self._build(0.0)
+
+    @property
+    def scene(self):
+        return self._frame0
+
+    def do_animate(self, frame: int):
+        return self._build(frame * 0.3), self.camera
+
+
+@register_scene("knot")
+class TrefoilKnotScene(DemoScene):
+    """Trefoil knot swept from sphere-jointed cylinder segments — a
+    cylinder-pool stress scene (reference: the gallery's curve/knot
+    demos)."""
+
+    default_camera = dict(position=(0.0, 0.5, -6.0), fov=0.9)
+
+    def do_initialize(self, n: int = 96):
+        b = self.builder
+        metal = b.add_material(color=(0.85, 0.7, 0.3, 1.0),
+                               specular=0.9, specular_power=70.0,
+                               reflection=0.35)
+        self.add_ground(y=-2.2, extent=10.0)
+        ts = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+        pts = np.stack(
+            [
+                np.sin(ts) + 2.0 * np.sin(2 * ts),
+                np.cos(ts) - 2.0 * np.cos(2 * ts),
+                -np.sin(3 * ts),
+            ],
+            -1,
+        ) * 0.7
+        r = 0.16
+        for i in range(n):
+            p0 = pts[i]
+            p1 = pts[(i + 1) % n]
+            b.add_cylinder(tuple(p0), tuple(p1), r, metal)
+            b.add_sphere(tuple(p0), r, metal)
+        self.default_light(position=(4.0, 7.0, -6.0), intensity=1.2)
+
+
 # ---------------------------------------------------------------------------
 # mesh helpers
 

@@ -102,6 +102,44 @@ def test_sweep_kernels_compile_and_match_xla(terrain):
     )
 
 
+def test_chunked_sweep_matches_single_call(terrain):
+    """The lax.map tile-chunked path (any render with more than
+    TILE_CHUNK tiles — e.g. the 512x512 bench) == one pallas_call.
+    Forced here by shrinking ``chunk`` below the tile count."""
+    from solr_tpu.ops import packet as pk
+    from solr_tpu.ops.camera import camera_rays
+    from solr_tpu.ops.pallas_kernels import make_rays16t, sweep_closest
+
+    scene, cam, cfg = terrain
+    o, d = camera_rays(cam, cfg)
+    perm, _ = pk.tile_permutation(
+        cfg.width, cfg.height, cfg.packet_tile_w, cfg.packet_tile_h
+    )
+    o_t = o[perm].reshape(-1, cfg.packet_rays, 3)
+    d_t = d[perm].reshape(-1, cfg.packet_rays, 3)
+    accel = scene.tri_accel
+    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+    mask1, near1 = pk.cull_blocks(
+        po, ro, axis, cos_g,
+        accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+    )
+    cand, counts, _n, near_bound, _drop, _dsup = pk.two_level_select(
+        mask1, near1, accel.block_bounds,
+        lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
+        cfg.packet_max_super, cfg.packet_max_blocks,
+    )
+    rays_t = make_rays16t(o_t, d_t)
+    assert o_t.shape[0] > 24  # the chunked path must actually engage
+    t_c, i_c, _ = jax.jit(
+        lambda *a: sweep_closest(*a, 1e-4, chunk=24)
+    )(accel.packed, rays_t, cand, counts, near_bound)
+    t_1, i_1, _ = jax.jit(
+        lambda *a: sweep_closest(*a, 1e-4)
+    )(accel.packed, rays_t, cand, counts, near_bound)
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_1))
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_1))
+
+
 def test_full_render_matches_cpu_path(terrain):
     """End-to-end packet render on the chip == the same render computed
     through the XLA block path (SOLR_NO_PALLAS), pixelwise."""
