@@ -402,6 +402,34 @@ def _compacted_net(need, carry, walk_chunk):
     )
 
 
+def _compacted_tiles(need, carry, chunk_fn, frac: int = 4):
+    """Tile-granularity analog of :func:`_compacted_net`: process only
+    the tiles flagged in ``need`` (S,), in chunks of S//frac, each under
+    ``lax.cond``.  ``chunk_fn(tidx, act, carry)`` sweeps one compacted
+    tile chunk and scatters into ``carry``."""
+    s = need.shape[0]
+    cap = max(8, -(-s // frac))
+    n_chunks = -(-s // cap)
+    tidx_all = jnp.nonzero(need, size=n_chunks * cap, fill_value=s)[0]
+
+    def body(c, carry):
+        tidx = jax.lax.dynamic_slice_in_dim(tidx_all, c * cap, cap)
+        act = tidx < s
+        return jax.lax.cond(
+            jnp.any(act),
+            lambda carry: chunk_fn(tidx, act, carry),
+            lambda carry: carry,
+            carry,
+        )
+
+    return jax.lax.cond(
+        need.any(),
+        lambda carry: jax.lax.fori_loop(0, n_chunks, body, carry),
+        lambda carry: carry,
+        carry,
+    )
+
+
 def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     """Packet closest hit: two-level cull -> nearest-first candidate
     sweep (Pallas grid-pipelined kernel on TPU, XLA block scan
@@ -461,19 +489,21 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
 
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_cap, live_t=live)
 
-    def sweep(cand_p, counts_p, nearb_p):
+    def sweep(rays_sel, o_sel, d_sel, cand_p, counts_p, nearb_p):
         if use_pallas:
             bt, bi, _ = sweep_closest(
-                accel.packed, rays_t, cand_p, counts_p, nearb_p, t_min,
+                accel.packed, rays_sel, cand_p, counts_p, nearb_p, t_min,
                 prim=prim,
             )
             return bt, bi
         return pk.tri_blocks_closest(
-            accel.packed, o_t, d_t, cand_p, counts_p, t_min, prim=prim
+            accel.packed, o_sel, d_sel, cand_p, counts_p, t_min, prim=prim
         )
 
+    rays_all = rays_t if use_pallas else None
     counts1 = jnp.minimum(counts, k1)
-    bt, bi = sweep(cand[:, :k1], counts1, near_bound[:, : k1 + 1])
+    bt, bi = sweep(rays_all, o_t, d_t, cand[:, :k1], counts1,
+                   near_bound[:, : k1 + 1])
 
     if k2 > 0:
         # Bound on candidates not yet swept: the (k1+1)-th nearest (if
@@ -483,16 +513,33 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
             jnp.where(more, near_sorted[:, k1], T_FAR), dropped_super
         )
         need1 = live & (jnp.minimum(bt, t_cap) > drop1[:, None])
-        tile_need = jnp.any(need1, axis=1)
-        counts2 = jnp.where(
-            tile_need, jnp.clip(counts - k1, 0, k2), 0
-        ).astype(counts.dtype)
-        bt2, bi2 = sweep(
-            cand[:, k1:], counts2, near_bound[:, k1:]
-        )
-        better = bt2 < bt
-        bt = jnp.where(better, bt2, bt)
-        bi = jnp.where(better, bi2, bi)
+        tile_need = jnp.any(need1, axis=1) & more
+        counts2_full = jnp.clip(counts - k1, 0, k2).astype(counts.dtype)
+
+        def esc_chunk(tidx, act, carry):
+            # Pass 2 runs ONLY over the tiles that actually escalate
+            # (typically a quarter to a third of the frame): the grid's
+            # skipped steps are not free (~0.2 us each, serialized on
+            # the one TensorCore), so sweeping all S tiles at K2 wastes
+            # tens of ms per frame.
+            bt_c, bi_c = carry
+            safe = jnp.minimum(tidx, s_tiles_n - 1)
+            cnt = jnp.where(act, counts2_full[safe], 0)
+            bt2, bi2 = sweep(
+                None if rays_all is None else rays_all[safe],
+                o_t[safe], d_t[safe],
+                cand[safe, k1:], cnt, near_bound[safe, k1:],
+            )
+            better = bt2 < bt_c[safe]
+            new_t = jnp.where(better, bt2, bt_c[safe])
+            new_i = jnp.where(better, bi2, bi_c[safe])
+            return (
+                bt_c.at[tidx].set(new_t, mode="drop"),
+                bi_c.at[tidx].set(new_i, mode="drop"),
+            )
+
+        s_tiles_n = counts.shape[0]
+        bt, bi = _compacted_tiles(tile_need, (bt, bi), esc_chunk)
 
     if exact and net_bvh is not None:
         need = (
@@ -501,11 +548,16 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
         bt_f, bi_f = bt.reshape(r), bi.reshape(r)
 
         def walk_chunk(idx, act, carry):
+            # Brute-force the compacted needy rays against the whole
+            # pool (chunked scan): O(needy x N) vectorized work with no
+            # serial tree depth.  The per-ray BVH walk is pathological
+            # for exactly these rays — horizon-grazing rays visit most
+            # of the tree, and the while_loop serializes every node
+            # (measured: ~2 s per walk at 512^2 vs ~10 ms brute).
             bt_c, bi_c = carry
             safe = jnp.minimum(idx, r - 1)
-            t2, i2 = bvh_mod.bvh_closest_hit(
-                scene, net_bvh, pool_code, o[safe], d[safe], t_min,
-                bt_c[safe], active=act,
+            t2, i2 = _pool_closest(
+                o[safe], d[safe], scene, pool_code, t_min, bt_c[safe]
             )
             better = act & (t2 < bt_c[safe])
             new_t = jnp.where(better, t2, bt_c[safe])
@@ -668,26 +720,43 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
 
             rays_t = make_rays16t(o_t, d_t, tmax_t=tm_t, live_t=live)
 
-        def sweep(cand_p, counts_p):
+        def sweep(rays_sel, o_sel, d_sel, tm_sel, cand_p, counts_p):
             if use_pallas:
                 tr, _ = sweep_transmittance(
-                    accel.packed, rays_t, cand_p, counts_p, t_min,
+                    accel.packed, rays_sel, cand_p, counts_p, t_min,
                     prim=prim,
                 )
                 return tr
             return pk.tri_blocks_transmittance(
-                accel.packed, o_t, d_t, tm_t, cand_p, counts_p, t_min,
-                prim=prim,
+                accel.packed, o_sel, d_sel, tm_sel, cand_p, counts_p,
+                t_min, prim=prim,
             )
 
-        tr = sweep(cand[:, :k1], jnp.minimum(counts, k1))
+        rays_all = rays_t if use_pallas else None
+        tr = sweep(rays_all, o_t, d_t, tm_t, cand[:, :k1],
+                   jnp.minimum(counts, k1))
         if k2 > 0:
             # Transmittance needs EVERY occluder: escalate any tile
-            # whose candidate list overflowed pass 1.
-            counts2 = jnp.where(
-                counts > k1, jnp.clip(counts - k1, 0, k2), 0
-            ).astype(counts.dtype)
-            tr = tr * sweep(cand[:, k1:], counts2)
+            # whose candidate list overflowed pass 1 — compacted, like
+            # the closest-hit pass 2 (skipped grid steps are not free).
+            s_tiles_n = counts.shape[0]
+            counts2_full = jnp.clip(counts - k1, 0, k2).astype(
+                counts.dtype
+            )
+
+            def esc_chunk(tidx, act, carry):
+                (tr_c,) = carry
+                safe = jnp.minimum(tidx, s_tiles_n - 1)
+                cnt = jnp.where(act, counts2_full[safe], 0)
+                tr2 = sweep(
+                    None if rays_all is None else rays_all[safe],
+                    o_t[safe], d_t[safe], tm_t[safe],
+                    cand[safe, k1:], cnt,
+                )
+                tr2 = jnp.where(act[:, None], tr2, 1.0)
+                return (tr_c.at[tidx].mul(tr2, mode="drop"),)
+
+            (tr,) = _compacted_tiles(counts > k1, (tr,), esc_chunk)
         # Unproven only when candidates exceeded BOTH passes or the
         # super-block cap dropped something.
         need = live & (
@@ -700,11 +769,14 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
         tm_full = jnp.broadcast_to(tm2, o2.shape[:-1])
 
         def walk_chunk(idx, act, carry):
+            # Brute-force, like the closest-hit net (see walk_chunk
+            # there): vectorized O(needy x N) beats the serial per-ray
+            # walk by orders of magnitude for grazing shadow bundles.
             (tr_c,) = carry
             safe = jnp.minimum(idx, r2 - 1)
-            tr_walk = bvh_mod.bvh_transmittance(
-                scene, net_bvh, pool_code, o2[safe], d2[safe], t_min,
-                tm_full[safe], active=act,
+            tr_walk = _pool_transmittance_brute(
+                scene, pool_code, o2[safe], d2[safe], tm_full[safe],
+                t_min,
             )
             new_tr = jnp.where(act, tr_walk, tr_c[safe])
             return (tr_c.at[idx].set(new_tr, mode="drop"),)
@@ -731,6 +803,35 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
     if do_net:
         tr = net(o, d, tm, tr, need)
     return tr
+
+
+def _pool_transmittance_brute(scene: Scene, code: int, o, d, t_max,
+                              t_min=RAY_EPS):
+    """Brute-force shadow transmittance over one pool: product over all
+    occluding primitives of their material transparency (emissive
+    primitives never occlude — they ARE the lights).  Chunk-scanned; used
+    by the packet exactness net on compacted needy rays."""
+    size = _pool_sizes(scene)[code]
+    trans = jnp.ones(o.shape[:-1], o.dtype)
+    if size == 0:
+        return trans
+    chunk = min(_PRIM_CHUNK, size)
+    n_chunks = (size + chunk - 1) // chunk
+
+    def body(carry, ci):
+        t = _pool_t_chunk(scene, code, o, d, ci * chunk, chunk, t_min)
+        occludes = t < t_max[..., None]
+        idx = ci * chunk + jnp.arange(chunk)
+        mat = _pool_material(scene, code, idx)
+        f = jnp.where(
+            scene.materials.emission[mat] > 0.0,
+            1.0,
+            scene.materials.transparency[mat],
+        )[None, :]
+        return carry * jnp.prod(jnp.where(occludes, f, 1.0), axis=-1), None
+
+    trans, _ = jax.lax.scan(body, trans, jnp.arange(n_chunks))
+    return trans
 
 
 def _pool_t_chunk(scene: Scene, code: int, o, d, start, chunk, t_min):
