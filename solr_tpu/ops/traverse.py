@@ -359,10 +359,11 @@ def _scene_box(accel):
 
 
 def _net_capacity(r: int) -> int:
-    """Compacted exactness-net buffer size: enough for a few percent of
-    the frame (measured need rates are ~1%), lane-aligned, never larger
-    than the frame itself."""
-    return min(r, max(256, -(-r // 16 // 128) * 128))
+    """Compacted exactness-net buffer size: covers the measured ~1%
+    need rate in one chunk, lane-aligned, never larger than the frame.
+    Kept tight because the brute-force walk costs cap x N_prims per
+    chunk (at 1M tris, 4096 rays ~ a few tens of ms)."""
+    return min(r, max(512, -(-r // 64 // 128) * 128))
 
 
 def _compacted_net(need, carry, walk_chunk):
@@ -505,30 +506,38 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     bt, bi = sweep(rays_all, o_t, d_t, cand[:, :k1], counts1,
                    near_bound[:, : k1 + 1])
 
-    if k2 > 0:
-        # Bound on candidates not yet swept: the (k1+1)-th nearest (if
-        # it exists) or whatever the caps dropped.
-        more = counts > k1
-        drop1 = jnp.minimum(
-            jnp.where(more, near_sorted[:, k1], T_FAR), dropped_super
+    # Cap escalation: depth-chunked passes of k1 candidates each, over
+    # COMPACTED escalating tiles only.  Every pass re-uses the pass-1
+    # kernel shape (grid (chunk, k1)) — a distinctly-shaped K2 kernel
+    # would cost its own ~5 min Mosaic compile through the remote
+    # helper, and skipped grid steps are not free at runtime (~0.2 us
+    # each, serialized on the one TensorCore).
+    s_tiles_n = counts.shape[0]
+    k_eff = cand.shape[1]  # two_level_select clamps k1+k2 to the real
+    #                        child-candidate width on tiny scenes
+    n_passes = -(-max(k_eff - k1, 0) // k1) if k2 > 0 else 0
+    for p in range(1, n_passes + 1):
+        lo = p * k1
+        hi = min(lo + k1, k_eff)
+        # A tile escalates into pass p when it has candidates at this
+        # depth AND some live ray is not yet provably done before them.
+        more = counts > lo
+        bound_lo = near_sorted[:, lo]
+        need_p = live & (
+            jnp.minimum(bt, t_cap)
+            > jnp.where(more, bound_lo, T_FAR)[:, None]
         )
-        need1 = live & (jnp.minimum(bt, t_cap) > drop1[:, None])
-        tile_need = jnp.any(need1, axis=1) & more
-        counts2_full = jnp.clip(counts - k1, 0, k2).astype(counts.dtype)
+        tile_need = jnp.any(need_p, axis=1) & more
+        counts_p = jnp.clip(counts - lo, 0, hi - lo).astype(counts.dtype)
 
-        def esc_chunk(tidx, act, carry):
-            # Pass 2 runs ONLY over the tiles that actually escalate
-            # (typically a quarter to a third of the frame): the grid's
-            # skipped steps are not free (~0.2 us each, serialized on
-            # the one TensorCore), so sweeping all S tiles at K2 wastes
-            # tens of ms per frame.
+        def esc_chunk(tidx, act, carry, lo=lo, hi=hi, counts_p=counts_p):
             bt_c, bi_c = carry
             safe = jnp.minimum(tidx, s_tiles_n - 1)
-            cnt = jnp.where(act, counts2_full[safe], 0)
+            cnt = jnp.where(act, counts_p[safe], 0)
             bt2, bi2 = sweep(
                 None if rays_all is None else rays_all[safe],
                 o_t[safe], d_t[safe],
-                cand[safe, k1:], cnt, near_bound[safe, k1:],
+                cand[safe, lo:hi], cnt, near_bound[safe, lo : hi + 1],
             )
             better = bt2 < bt_c[safe]
             new_t = jnp.where(better, bt2, bt_c[safe])
@@ -538,7 +547,6 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
                 bi_c.at[tidx].set(new_i, mode="drop"),
             )
 
-        s_tiles_n = counts.shape[0]
         bt, bi = _compacted_tiles(tile_need, (bt, bi), esc_chunk)
 
     if exact and net_bvh is not None:
@@ -735,28 +743,34 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
         rays_all = rays_t if use_pallas else None
         tr = sweep(rays_all, o_t, d_t, tm_t, cand[:, :k1],
                    jnp.minimum(counts, k1))
-        if k2 > 0:
-            # Transmittance needs EVERY occluder: escalate any tile
-            # whose candidate list overflowed pass 1 — compacted, like
-            # the closest-hit pass 2 (skipped grid steps are not free).
-            s_tiles_n = counts.shape[0]
-            counts2_full = jnp.clip(counts - k1, 0, k2).astype(
+        # Transmittance needs EVERY occluder: depth-chunked escalation
+        # passes of k1 candidates over compacted overflowing tiles,
+        # re-using the pass-1 kernel shape (see the closest-hit
+        # escalation for why both properties matter).
+        s_tiles_n = counts.shape[0]
+        k_eff = cand.shape[1]
+        n_passes = -(-max(k_eff - k1, 0) // k1) if k2 > 0 else 0
+        for p in range(1, n_passes + 1):
+            lo = p * k1
+            hi = min(lo + k1, k_eff)
+            counts_p = jnp.clip(counts - lo, 0, hi - lo).astype(
                 counts.dtype
             )
 
-            def esc_chunk(tidx, act, carry):
+            def esc_chunk(tidx, act, carry, lo=lo, hi=hi,
+                          counts_p=counts_p):
                 (tr_c,) = carry
                 safe = jnp.minimum(tidx, s_tiles_n - 1)
-                cnt = jnp.where(act, counts2_full[safe], 0)
+                cnt = jnp.where(act, counts_p[safe], 0)
                 tr2 = sweep(
                     None if rays_all is None else rays_all[safe],
                     o_t[safe], d_t[safe], tm_t[safe],
-                    cand[safe, k1:], cnt,
+                    cand[safe, lo:hi], cnt,
                 )
                 tr2 = jnp.where(act[:, None], tr2, 1.0)
                 return (tr_c.at[tidx].mul(tr2, mode="drop"),)
 
-            (tr,) = _compacted_tiles(counts > k1, (tr,), esc_chunk)
+            (tr,) = _compacted_tiles(counts > lo, (tr,), esc_chunk)
         # Unproven only when candidates exceeded BOTH passes or the
         # super-block cap dropped something.
         need = live & (
