@@ -14,10 +14,17 @@ This is the work the kernel actually performs (dead rays still occupy
 lanes until compaction lands), identical to how the reference's per-pixel
 loop counts (SURVEY.md section 3.3).
 
-Degradation ladder (VERDICT r02 "never report 0 again"):
-  1. Pallas sweep kernels (the fast path);
-  2. on ANY failure: SOLR_NO_PALLAS=1 -> XLA block path, same scale;
-  3. on failure: shrink the scene (N/5, N/20) and repeat 1-2.
+Adversarial two-path protocol (VERDICT r03 missing #2: round 3's 176x
+regression shipped silently because the ladder stopped at the first
+"success"):
+  1. BOTH the Pallas sweep AND the SOLR_NO_PALLAS XLA block path run at
+     headline scale; the summary line leads with the FASTER one and
+     carries both under "paths".
+  2. The best previous round's number (BENCH_r*.json next to this file)
+     is the floor: "regression_vs_best_prev" is nonzero iff this round's
+     best is below it — a silent regression is now a loud one.
+  3. Only if both paths fail at headline scale does the ladder shrink
+     the scene (N/5, N/20).
 
 Each attempt runs in its OWN subprocess: a TPU worker crash ("UNAVAILABLE:
 TPU worker process crashed") kills the JAX client for the whole process,
@@ -106,7 +113,12 @@ def build_scene():
         packet_tile_w=int(os.environ.get("SOLR_BENCH_TILE_W", 16)),
         packet_tile_h=int(os.environ.get("SOLR_BENCH_TILE_H", 16)),
         packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 32)),
-        packet_max_super=int(os.environ.get("SOLR_BENCH_M", 16)),
+        # M=48 supers: round 3 ran M=16 and the super-level drop alone
+        # pushed 13.8% of rays into the brute-force net (VERDICT r03
+        # weak #2/#3) — the L2 cull matrix at M=48 is still only
+        # (tiles, 1536), one vectorized shot.
+        packet_max_super=int(os.environ.get("SOLR_BENCH_M", 48)),
+        packet_escalate_blocks=int(os.environ.get("SOLR_BENCH_K2", 96)),
     )
     return scene, cam, cfg
 
@@ -172,6 +184,25 @@ def packet_diagnostics(scene, cam, cfg):
             )
             nv = counts
         net = jnp.minimum(bt, t_cap) > dropped[:, None]
+        # Sub-bundle mask density: the fraction of (tile, candidate)
+        # sub-bundle slots whose bit is set among REAL candidates —
+        # the compute fraction the masked kernel pays vs the unmasked
+        # tile sweep (round-4 lever; lower = better).
+        from solr_tpu.ops.traverse import _sub_g
+
+        g = _sub_g(sb)
+        live_t = jnp.ones(o_t.shape[:2], bool)
+        bits = pk.subbundle_bits(o_t, d_t, live_t, cand,
+                                 accel.block_bounds, max(g, 1))
+        pop = jnp.sum(
+            (bits[:, :, None] >> jnp.arange(max(g, 1))) & 1, axis=-1
+        )  # (S, K) set bits
+        valid_c = (
+            jnp.arange(cand.shape[1])[None, :] < counts[:, None]
+        )
+        density = jnp.sum(jnp.where(valid_c, pop, 0)) / jnp.maximum(
+            jnp.sum(valid_c) * max(g, 1), 1
+        )
         return (
             jnp.mean(counts.astype(jnp.float32)),
             jnp.max(counts),
@@ -180,10 +211,13 @@ def packet_diagnostics(scene, cam, cfg):
             jnp.mean((counts > cfg.packet_max_blocks)
                      .astype(jnp.float32)),
             jnp.mean((dropped < T_FAR * 0.5).astype(jnp.float32)),
+            density.astype(jnp.float32),
         )
 
     (mean_cand, max_cand, mean_visits, net_rate, escalate_rate,
-     drop_rate) = [float(x) for x in jax.device_get(stats(scene, cam))]
+     drop_rate, sub_density) = [
+        float(x) for x in jax.device_get(stats(scene, cam))
+    ]
     return {
         "blocks": int(accel.packed.shape[0]),
         "mean_candidates": round(mean_cand, 2),
@@ -192,6 +226,7 @@ def packet_diagnostics(scene, cam, cfg):
         "net_ray_rate": round(net_rate, 5),
         "escalate_tile_rate": round(escalate_rate, 4),
         "tile_drop_rate": round(drop_rate, 4),
+        "sub_mask_density": round(sub_density, 4),
     }
 
 
@@ -262,6 +297,13 @@ def _run(n_tris, metrics):
         result["roofline"] = {"error": str(e)[:120]}
     try:
         result["packet"] = packet_diagnostics(scene, cam, cfg)
+        # The round-3 collapse fired exactly here: a mis-sized net
+        # quietly brute-forcing 14% of rays.  Make the assumption loud.
+        if result["packet"].get("net_ray_rate", 0.0) > 0.02:
+            result["packet"]["warning"] = (
+                "net_ray_rate above the 2% design budget - raise "
+                "packet_max_super / packet_escalate_blocks"
+            )
     except Exception as e:  # pragma: no cover
         result["packet"] = {"error": str(e)[:120]}
     metrics.log(**result)
@@ -280,63 +322,111 @@ def _attempt_main():
     print("SOLR_BENCH_RESULT " + json.dumps(result))
 
 
+def _attempt_subprocess(n, fallback, timeout_s, metrics):
+    """One isolated bench attempt; returns the result dict or None."""
+    env = dict(os.environ, SOLR_BENCH_TRIS=str(n))
+    if fallback:
+        env["SOLR_NO_PALLAS"] = "1"
+    else:
+        env.pop("SOLR_NO_PALLAS", None)
+    err = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--attempt"],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("SOLR_BENCH_RESULT "):
+                return json.loads(line[len("SOLR_BENCH_RESULT "):])
+        err = f"exit {proc.returncode}: " + proc.stderr.strip()[-500:]
+    except subprocess.TimeoutExpired:
+        err = f"attempt timed out after {timeout_s}s"
+    metrics.log(event="bench_attempt_failed", n_tris=n,
+                fallback_xla=fallback, error=str(err)[:600])
+    return None
+
+
+def _best_previous():
+    """Best headline rays/s recorded by ANY previous round's driver
+    snapshot (BENCH_r*.json) — the regression floor."""
+    import glob
+
+    best = 0.0
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed", rec)
+            if parsed.get("unit") == "rays/s":
+                best = max(best, float(parsed.get("value", 0.0)))
+        except Exception:
+            continue
+    return best
+
+
 def main():
     from solr_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(_METRICS_PATH)
-    sizes = [N_TRIS, N_TRIS // 5, N_TRIS // 20]
     attempt_cap = int(os.environ.get("SOLR_BENCH_ATTEMPT_TIMEOUT", 1500))
     total_cap = int(os.environ.get("SOLR_BENCH_TOTAL_TIMEOUT", 5400))
     t_start = time.time()
-    last_err = None
+
+    def remaining():
+        return total_cap - (time.time() - t_start)
+
+    # Phase 1: BOTH paths at headline scale.
+    paths = {}
+    for fallback in (False, True):
+        if remaining() < 120:
+            break
+        timeout_s = int(min(attempt_cap, remaining()))
+        res = _attempt_subprocess(N_TRIS, fallback, timeout_s, metrics)
+        if res is not None:
+            paths["xla" if fallback else "pallas"] = res
+
     result = None
-    for n in sizes:
-        for fallback in (False, True):
-            remaining = total_cap - (time.time() - t_start)
-            if remaining < 120:
-                last_err = last_err or "total bench budget exhausted"
-                break
-            timeout_s = int(min(attempt_cap, remaining))
-            env = dict(os.environ, SOLR_BENCH_TRIS=str(n))
-            if fallback:
-                env["SOLR_NO_PALLAS"] = "1"
-            else:
-                env.pop("SOLR_NO_PALLAS", None)
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--attempt"],
-                    env=env, capture_output=True, text=True,
-                    timeout=timeout_s,
+    if paths:
+        result = dict(max(paths.values(), key=lambda r: r["value"]))
+        result["paths"] = {
+            name: {k: r[k] for k in
+                   ("value", "frame_ms", "compile_s") if k in r}
+            for name, r in paths.items()
+        }
+    else:
+        # Phase 2: degradation ladder at reduced scale.
+        for n in (N_TRIS // 5, N_TRIS // 20):
+            for fallback in (False, True):
+                if remaining() < 120:
+                    break
+                timeout_s = int(min(attempt_cap, remaining()))
+                result = _attempt_subprocess(
+                    n, fallback, timeout_s, metrics
                 )
-                for line in proc.stdout.splitlines():
-                    if line.startswith("SOLR_BENCH_RESULT "):
-                        result = json.loads(
-                            line[len("SOLR_BENCH_RESULT "):]
-                        )
-                        break
-                if result is None:
-                    last_err = (
-                        f"exit {proc.returncode}: "
-                        + proc.stderr.strip()[-500:]
-                    )
-            except subprocess.TimeoutExpired:
-                last_err = f"attempt timed out after {timeout_s}s"
+                if result is not None:
+                    break
             if result is not None:
                 break
-            metrics.log(event="bench_attempt_failed", n_tris=n,
-                        fallback_xla=fallback, error=str(last_err)[:600])
-        if result is not None:
-            break
     if result is None:
         result = {
             "metric": "bench failed at all scales",
             "value": 0.0,
             "unit": "rays/s",
             "vs_baseline": 0.0,
-            "error": str(last_err)[:300],
+            "error": "all attempts failed (see bench_metrics.jsonl)",
         }
-        metrics.log(**result)
+    # Regression guard (VERDICT r03 missing #2): nonzero iff this run's
+    # best is below the best previously recorded round.
+    prev = _best_previous()
+    result["best_prev_rays_s"] = round(prev, 1)
+    short = result["value"] < prev
+    result["regression_vs_best_prev"] = (
+        round(1.0 - result["value"] / prev, 4) if (short and prev) else 0
+    )
+    metrics.log(event="bench_summary", **{
+        k: v for k, v in result.items() if not isinstance(v, dict)
+    })
     metrics.close()
     print(json.dumps(result))
 

@@ -152,6 +152,23 @@ def main():
             result["virtual_multihost"] = json.loads(line)
         except Exception as e:
             result["virtual_multihost"] = {"error": str(e)[:200]}
+    # Kill-one-host fault injection (SURVEY.md section 5 failure
+    # detection; VERDICT r03 item 6): SIGKILL one simulated host
+    # mid-frame, assert stall detection + checkpoint resume + a
+    # bit-identical final frame.  Opt out with SOLR_SCALING_NO_FAULT=1.
+    if not os.environ.get("SOLR_SCALING_NO_FAULT"):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", SOLR_FAULT_RES="48")
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "fault_injection.py")],
+                env=env, capture_output=True, timeout=600,
+            )
+            line = out.stdout.decode().strip().splitlines()[-1]
+            result["fault_injection"] = json.loads(line)
+        except Exception as e:
+            result["fault_injection"] = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 

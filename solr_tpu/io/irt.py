@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-IRT_VERSION = 1
+IRT_VERSION = 2  # v2: specular/reflection/transparency texture slots
 
 __all__ = ["save_scene", "load_scene", "IRT_VERSION"]
 
@@ -34,6 +34,7 @@ _POOLS = {
     "materials": (
         "color", "specular", "reflection", "ior", "transparency",
         "emission", "texture_diffuse", "texture_normal", "texture_bump",
+        "texture_specular", "texture_reflection", "texture_transparency",
         "procedural", "procedural_scale",
     ),
     "lights": ("position", "color", "radius"),
@@ -99,9 +100,18 @@ def load_scene(path: str) -> Tuple[object, Optional[object]]:
         data = np.load(_io.BytesIO(z.read("arrays.npz")))
 
     def group(cls, name):
-        kwargs = {
-            f: jnp.asarray(data[f"{name}.{f}"]) for f in _POOLS[name]
-        }
+        kwargs = {}
+        for f in _POOLS[name]:
+            key = f"{name}.{f}"
+            if key in data:
+                kwargs[f] = jnp.asarray(data[key])
+            elif name == "materials" and f.startswith("texture_"):
+                # Version-1 files predate the specular/reflection/
+                # transparency slots: default to unset.
+                n = data["materials.color"].shape[0]
+                kwargs[f] = jnp.full((n,), -1, jnp.int32)
+            else:
+                raise KeyError(key)
         return cls(**kwargs)
 
     scene = Scene(

@@ -42,11 +42,14 @@ def parse_mtl(path: str, builder, texture_dir: Optional[str] = None):
         spec = float(np.max(ks))
         opacity = float(props.get("d", 1.0))
         illum = int(props.get("illum", 2))
-        tex = -1
-        if "map_kd" in props and texture_dir is not None:
-            tex_path = os.path.join(texture_dir, str(props["map_kd"]))
-            if os.path.exists(tex_path):
-                tex = builder.add_texture(load_image(tex_path))
+
+        def load_map(key):
+            if key in props and texture_dir is not None:
+                tex_path = os.path.join(texture_dir, str(props[key]))
+                if os.path.exists(tex_path):
+                    return builder.add_texture(load_image(tex_path))
+            return -1
+
         mats[name] = builder.add_material(
             color=(kd[0], kd[1], kd[2], 1.0),
             specular=spec,
@@ -54,7 +57,12 @@ def parse_mtl(path: str, builder, texture_dir: Optional[str] = None):
             reflection=0.4 if illum >= 3 else 0.0,
             ior=float(props.get("ni", 1.0)),
             transparency=1.0 - opacity,
-            texture_diffuse=tex,
+            texture_diffuse=load_map("map_kd"),
+            texture_normal=load_map("norm"),
+            texture_bump=load_map("map_bump"),
+            texture_specular=load_map("map_ks"),
+            texture_reflection=load_map("map_refl"),
+            texture_transparency=load_map("map_d"),
         )
 
     with open(path) as f:
@@ -75,8 +83,13 @@ def parse_mtl(path: str, builder, texture_dir: Optional[str] = None):
                 props["d"] = 1.0 - float(parts[1])
             elif key == "illum":
                 props["illum"] = int(parts[1])
-            elif key == "map_kd":
-                props["map_kd"] = parts[-1]
+            elif key in ("map_kd", "map_ks", "map_d", "map_refl",
+                         "map_bump", "norm"):
+                props[key] = parts[-1]
+            elif key == "bump":  # synonym used by many exporters
+                props["map_bump"] = parts[-1]
+            elif key == "refl":
+                props["map_refl"] = parts[-1]
     flush()
     return mats
 

@@ -60,6 +60,8 @@ __all__ = [
     "cull_capsule",
     "cull_capsule_g",
     "candidate_leaves",
+    "subbundle_bits",
+    "subbundle_bits_capsule",
     "two_level_select",
     "block_pack",
     "build_tri_accel",
@@ -691,6 +693,70 @@ def two_level_select(mask1, near1, block_bounds, cull_child, max_super: int,
         [near_sorted, jnp.full((s_tiles, 1), T_FAR, near1.dtype)], axis=1
     )
     return cand, counts, near_sorted, near_bound, dropped_near, dropped1
+
+
+def _sub_shapes(o_t, sub_g: int):
+    s, sb, _ = o_t.shape
+    assert sb % sub_g == 0
+    return s, sb // sub_g
+
+
+def subbundle_bits(o_t, d_t, live, cand, block_bounds, sub_g: int):
+    """Per-(tile, candidate) sub-bundle need bits for the closest-hit
+    sweep: bit j of ``bits[s, k]`` is set iff some ray of tile s's j-th
+    sub-bundle may hit candidate block ``cand[s, k]``.
+
+    Each tile's SB rays split into ``sub_g`` contiguous sub-bundles
+    (for the row-major tile swizzle: thin pixel-row strips, which are
+    depth-stratified on typical ground-plane scenes — the property the
+    kernel's per-sub-bundle early-out exploits).  Each sub-bundle gets
+    its own cone bundle and runs the SAME conservative support-function
+    cull as the tile (cull_blocks_g), so clearing a bit can never drop
+    a real hit — the Pallas sweep's result is bit-identical with or
+    without the mask.
+
+    o_t/d_t (S, SB, 3); live (S, SB) bool; cand (S, K) block ids;
+    block_bounds (Bp, 8).  Returns (S, K) int32.
+    """
+    s, ssb = _sub_shapes(o_t, sub_g)
+    o_s = o_t.reshape(s * sub_g, ssb, 3)
+    d_s = d_t.reshape(s * sub_g, ssb, 3)
+    live_s = live.reshape(s * sub_g, ssb)
+    po, ro, axis, cos_g = make_bundles(o_s, d_s, live_s)
+    bbg = jnp.take(block_bounds, cand, axis=0)  # (S, K, 8)
+    k = cand.shape[1]
+    bbg = jnp.broadcast_to(
+        bbg[:, None], (s, sub_g, k, 8)
+    ).reshape(s * sub_g, k, 8)
+    mask, _near = cull_blocks_g(po, ro, axis, cos_g, bbg)  # (S*G, K)
+    mask = mask & jnp.any(live_s, axis=1)[:, None]
+    weights = (1 << jnp.arange(sub_g, dtype=jnp.int32))[None, :, None]
+    return jnp.sum(
+        mask.reshape(s, sub_g, k).astype(jnp.int32) * weights, axis=1
+    )
+
+
+def subbundle_bits_capsule(o_t, d_t, tm_t, live, cand, block_bounds,
+                           sub_g: int):
+    """Capsule (shadow-segment) variant of :func:`subbundle_bits`:
+    per-sub-bundle segment bundles vs the tile's candidate blocks."""
+    s, ssb = _sub_shapes(o_t, sub_g)
+    o_s = o_t.reshape(s * sub_g, ssb, 3)
+    d_s = d_t.reshape(s * sub_g, ssb, 3)
+    tm_s = tm_t.reshape(s * sub_g, ssb)
+    live_s = live.reshape(s * sub_g, ssb)
+    po, ro, pa, ra = capsule_bundles(o_s, d_s, tm_s, live_s)
+    bbg = jnp.take(block_bounds, cand, axis=0)
+    k = cand.shape[1]
+    bbg = jnp.broadcast_to(
+        bbg[:, None], (s, sub_g, k, 8)
+    ).reshape(s * sub_g, k, 8)
+    mask, _near = cull_capsule_g(po, ro, pa, ra, bbg)
+    mask = mask & jnp.any(live_s, axis=1)[:, None]
+    weights = (1 << jnp.arange(sub_g, dtype=jnp.int32))[None, :, None]
+    return jnp.sum(
+        mask.reshape(s, sub_g, k).astype(jnp.int32) * weights, axis=1
+    )
 
 
 def _woop_t(o_t, d_t, w, t_min):

@@ -1,6 +1,6 @@
 """Pallas TPU kernels: grid-pipelined candidate-block sweep.
 
-Round-3 redesign of the traversal hot path (reference lineage:
+Round-3/4 redesign of the traversal hot path (reference lineage:
 GeometryIntersections.cuh: intersectionWithPrimitives — the per-thread
 skip-index walk).  Hardware findings that shaped this design (all
 measured on the v5e this repo benches on; see DEBUGGING.md):
@@ -32,6 +32,19 @@ Front-to-back early-out: each step first tests the candidate's
 distance lower bound against every live ray's current best and skips
 the intersection entirely once the tile is provably done.
 
+Round-4 addition — SUB-BUNDLE MASKING (the round-3 compute killer:
+every ray in a 256-ray tile paid for every candidate block the TILE
+needed, ~22 x 256 Woop tests per ray on the grazing-terrain bench).
+Each tile is split into ``sub_g`` contiguous sub-bundles (for a 16x16
+pixel tile with sub_g=8: 2-pixel-row strips — depth-stratified on a
+terrain view).  A per-(tile, candidate) bitmask, scalar-prefetched from
+a per-sub-bundle XLA cull (solr_tpu.ops.packet.subbundle_bits), gates
+each sub-bundle's intersection with `pl.when`, and each sub-bundle
+keeps its OWN front-to-back cutoff — near strips finish after 2-3
+blocks while far strips keep sweeping.  Grid size is unchanged (the
+DMA stays per-tile); only the dominant VPU compute shrinks.  The cull
+is conservative, so results are bit-identical to the unmasked sweep.
+
 Correctness is pinned by tests against the XLA block path (interpret
 mode + on-TPU smoke test) and the exactness net in
 solr_tpu.ops.traverse handles capped-out tiles.
@@ -58,7 +71,7 @@ __all__ = [
 _BIG_I = 2**31 - 1  # python int: jnp scalars would be captured consts
 
 # Tiles per pallas_call: bounds the scalar-prefetch SMEM footprint
-# (chunk * (2K + 2) * 4 bytes; 256 * 66 * 4 = 66 KB at K=32).
+# (chunk * (3K + 2) * 4 bytes; 256 * 98 * 4 = 100 KB at K=32).
 TILE_CHUNK = 256
 
 
@@ -138,16 +151,17 @@ _PRIM_ROWS = {"tri": _woop_rows, "sphere": _sphere_rows}
 
 
 def _closest_kernel(
-    counts_ref, cand_ref, nearb_ref,  # prefetch: (S,), (S,K), (S,K+1)
+    counts_ref, cand_ref, nearb_ref, sub_ref,  # prefetch: (S,), (S,K), (S,K), (S,K)
     rays_ref,  # (1, 16, SB) transposed rays
     slab_ref,  # (1, 16, BLOCK): candidate k's packed block
     bt_ref, bi_ref,  # (1, SB, 1) outputs, resident across k
     nv_ref,  # (1, 1, 1) visit counter
-    *, block, t_min, prim,
+    *, block, t_min, prim, sub_g,
 ):
     s = pl.program_id(0)
     k = pl.program_id(1)
     sb = rays_ref.shape[2]
+    ssb = sb // sub_g
 
     @pl.when(k == 0)
     def _():
@@ -158,42 +172,80 @@ def _closest_kernel(
     rays = rays_ref[0].T  # (SB, 16): one relayout per (s, k) step
     live = rays[:, 9:10] > 0.0  # (SB, 1)
     bt = bt_ref[0]
-    # Front-to-back early-out: skip once every live ray is provably
-    # complete — its best hit (or its scene-box exit, lane 8: a miss
-    # ray can't hit anything past the box, so sky rays don't stall the
-    # tile at T_FAR) is closer than this candidate's lower bound.
+    # Front-to-back early-out, PER SUB-BUNDLE: a sub-bundle skips once
+    # every live ray in it is provably complete — its best hit (or its
+    # scene-box exit, lane 8: a miss ray can't hit anything past the
+    # box, so sky rays don't stall the strip at T_FAR) is closer than
+    # this candidate's lower bound.
     t_cap = rays[:, 8:9]
-    cutoff = jnp.max(jnp.where(live, jnp.minimum(bt, t_cap), 0.0))
-    run = (k < counts_ref[s]) & (nearb_ref[s, k] < cutoff)
+    done_t = jnp.where(live, jnp.minimum(bt, t_cap), 0.0)  # (SB, 1)
+    in_count = k < counts_ref[s]
+    near_k = nearb_ref[s, k]
+    w = slab_ref[0]  # (16, BLOCK)
+    pid = cand_ref[s, k] * block + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block), 1
+    )
 
-    @pl.when(run)
+    if sub_g == 1:
+        # Whole-tile body (the round-3 kernel, known-good on hardware).
+        run = in_count & (near_k < jnp.max(done_t))
+
+        @pl.when(run)
+        def _():
+            t = _PRIM_ROWS[prim](rays, w, t_min)  # (SB, BLOCK)
+            c_min = jnp.min(t, axis=1, keepdims=True)  # (SB, 1)
+            c_idx = jnp.min(
+                jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
+            )
+            better = c_min < bt
+            bt_ref[0] = jnp.where(better, c_min, bt)
+            bi_ref[0] = jnp.where(better, c_idx, bi_ref[0])
+            nv_ref[0] = nv_ref[0] + 1
+        return
+
+    bits = sub_ref[s, k]
+    runs = []
+    for j in range(sub_g):
+        cutoff_j = jnp.max(done_t[j * ssb : (j + 1) * ssb])
+        bit_j = ((bits >> j) & 1) > 0
+        runs.append(in_count & bit_j & (near_k < cutoff_j))
+    any_run = functools.reduce(jnp.logical_or, runs)
+
+    @pl.when(any_run)
     def _():
-        w = slab_ref[0]  # (16, BLOCK)
-        t = _PRIM_ROWS[prim](rays, w, t_min)  # (SB, BLOCK)
-        pid = cand_ref[s, k] * block + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block), 1
-        )
-        c_min = jnp.min(t, axis=1, keepdims=True)  # (SB, 1)
-        c_idx = jnp.min(
-            jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
-        )
-        better = c_min < bt
-        bt_ref[0] = jnp.where(better, c_min, bt)
-        bi_ref[0] = jnp.where(better, c_idx, bi_ref[0])
         nv_ref[0] = nv_ref[0] + 1
+
+    for j in range(sub_g):
+        @pl.when(runs[j])
+        def _(j=j):
+            rj = rays[j * ssb : (j + 1) * ssb]  # (ssb, 16)
+            t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
+            c_min = jnp.min(t, axis=1, keepdims=True)  # (ssb, 1)
+            c_idx = jnp.min(
+                jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
+            )
+            btj = bt[j * ssb : (j + 1) * ssb]
+            better = c_min < btj
+            bt_ref[0, j * ssb : (j + 1) * ssb] = jnp.where(
+                better, c_min, btj
+            )
+            bi_ref[0, j * ssb : (j + 1) * ssb] = jnp.where(
+                better, c_idx, bi_ref[0, j * ssb : (j + 1) * ssb]
+            )
 
 
 def _trans_kernel(
-    counts_ref, cand_ref, nearb_ref,
+    counts_ref, cand_ref, nearb_ref, sub_ref,
     rays_ref,  # (1, 16, SB); row 8 = per-ray t_max, row 9 = live
     slab_ref,  # (1, 16, BLOCK); row 15 = per-prim shadow factor
     tr_ref,  # (1, SB, 1) transmittance, resident across k
     nv_ref,  # (1, 1, 1)
-    *, block, t_min, prim,
+    *, block, t_min, prim, sub_g,
 ):
     s = pl.program_id(0)
     k = pl.program_id(1)
     sb = rays_ref.shape[2]
+    ssb = sb // sub_g
 
     @pl.when(k == 0)
     def _():
@@ -203,39 +255,70 @@ def _trans_kernel(
     rays = rays_ref[0].T  # (SB, 16)
     live = rays[:, 9:10] > 0.0
     tr = tr_ref[0]
-    # Occlusion has no distance order: visit every candidate, but stop
-    # once every live ray is fully extinguished.
-    any_light = jnp.max(jnp.where(live, tr, 0.0)) > 1e-6
-    run = (k < counts_ref[s]) & any_light
+    # Occlusion has no distance order: visit every masked-in candidate,
+    # but each sub-bundle stops once all its live rays are extinguished.
+    lit = jnp.where(live, tr, 0.0)  # (SB, 1)
+    in_count = k < counts_ref[s]
+    w = slab_ref[0]
 
-    @pl.when(run)
+    if sub_g == 1:
+        # Whole-tile body (the round-3 kernel, known-good on hardware).
+        run = in_count & (jnp.max(lit) > 1e-6)
+
+        @pl.when(run)
+        def _():
+            t = _PRIM_ROWS[prim](rays, w, t_min)
+            occ = t < rays[:, 8:9]
+            f = jnp.where(occ, w[15:16, :], 1.0)
+            # Lane product via exp(sum(log)): Mosaic has no reduce_prod
+            # lowering on this path.  Exact at the boundaries (log(0) =
+            # -inf -> exp = 0; log(1) = 0) and f in [0, 1].
+            logf = jnp.log(jnp.maximum(f, 0.0))
+            tr_ref[0] = tr * jnp.exp(
+                jnp.sum(logf, axis=1, keepdims=True)
+            )
+            nv_ref[0] = nv_ref[0] + 1
+        return
+
+    bits = sub_ref[s, k]
+    runs = []
+    for j in range(sub_g):
+        any_light_j = jnp.max(lit[j * ssb : (j + 1) * ssb]) > 1e-6
+        bit_j = ((bits >> j) & 1) > 0
+        runs.append(in_count & bit_j & any_light_j)
+    any_run = functools.reduce(jnp.logical_or, runs)
+
+    @pl.when(any_run)
     def _():
-        w = slab_ref[0]
-        t = _PRIM_ROWS[prim](rays, w, t_min)
-        occ = t < rays[:, 8:9]
-        f = jnp.where(occ, w[15:16, :], 1.0)
-        # Lane product via exp(sum(log)): Mosaic has no reduce_prod
-        # lowering on this path.  Exact at the boundaries (log(0) =
-        # -inf -> exp = 0; log(1) = 0) and f in [0, 1].
-        logf = jnp.log(jnp.maximum(f, 0.0))
-        tr_ref[0] = tr * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
         nv_ref[0] = nv_ref[0] + 1
 
+    for j in range(sub_g):
+        @pl.when(runs[j])
+        def _(j=j):
+            rj = rays[j * ssb : (j + 1) * ssb]
+            t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
+            occ = t < rj[:, 8:9]
+            f = jnp.where(occ, w[15:16, :], 1.0)
+            logf = jnp.log(jnp.maximum(f, 0.0))
+            tr_ref[0, j * ssb : (j + 1) * ssb] = tr[
+                j * ssb : (j + 1) * ssb
+            ] * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
 
-def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, t_min,
-                n_out, interpret, prim):
+
+def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, submask,
+                t_min, n_out, interpret, prim, sub_g):
     s_tiles, k_max = cand.shape
     sb = rays_t.shape[2]
     block = packed.shape[2]
 
-    def slab_index(s, k, counts, cand, nearb):
+    def slab_index(s, k, counts, cand, nearb, sub):
         # Clamp exhausted tiles to their last candidate: consecutive
         # equal block indices make the pipeline skip the re-copy.
         kc = jnp.minimum(k, jnp.maximum(counts[s] - 1, 0))
         return cand[s, kc], 0, 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(s_tiles, k_max),
         in_specs=[
             pl.BlockSpec((1, 16, sb), lambda s, k, *_: (s, 0, 0),
@@ -254,14 +337,15 @@ def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, t_min,
         jax.ShapeDtypeStruct((s_tiles, sb, 1), dt) for dt in val_dtypes
     ) + (jax.ShapeDtypeStruct((s_tiles, 1, 1), jnp.int32),)
     return pl.pallas_call(
-        functools.partial(kernel, block=block, t_min=t_min, prim=prim),
+        functools.partial(kernel, block=block, t_min=t_min, prim=prim,
+                          sub_g=sub_g),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts, cand, nearb, rays_t, packed)
+    )(counts, cand, nearb, submask, rays_t, packed)
 
 
 def _chunked(fn, args_per_tile, s_tiles, chunk):
@@ -286,31 +370,41 @@ def _chunked(fn, args_per_tile, s_tiles, chunk):
     return outs
 
 
+def _resolve_submask(submask, cand, sub_g):
+    if submask is None:
+        assert sub_g == 1, "sub_g > 1 requires a submask"
+        return jnp.full(cand.shape, (1 << sub_g) - 1, jnp.int32)
+    return submask.astype(jnp.int32)
+
+
 def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
                   interpret: bool = False, chunk: int = TILE_CHUNK,
-                  prim: str = "tri"):
+                  prim: str = "tri", submask=None, sub_g: int = 1):
     """Closest hit over per-tile candidate blocks.
 
     packed (NB, 16, BLOCK) Woop slabs (solr_tpu.ops.packet.block_pack);
     rays_t (S, 16, SB) from :func:`make_rays16t`; cand (S, K) block ids
     nearest-first; counts (S,); near_bound (S, K+1) per-candidate
     distance lower bounds (the +FAR sentinel column is unused but kept
-    for parity with two_level_select's output).
+    for parity with two_level_select's output); submask (S, K) int32
+    per-sub-bundle need bits (solr_tpu.ops.packet.subbundle_bits) with
+    ``sub_g`` sub-bundles per tile (None -> whole-tile sweep).
 
     Returns (t (S, SB), prim idx (S, SB) with -1 = miss,
-    visits (S,) candidate blocks actually intersected per tile).
+    visits (S,) candidate blocks intersected by >= 1 sub-bundle).
     """
     s_tiles = cand.shape[0]
     nearb = near_bound[:, : cand.shape[1]]
+    submask = _resolve_submask(submask, cand, sub_g)
 
-    def one(rays_t, cand, counts, nearb):
+    def one(rays_t, cand, counts, nearb, submask):
         return _sweep_call(
             _closest_kernel, packed, rays_t, cand, counts, nearb,
-            t_min, 2, interpret, prim,
+            submask, t_min, 2, interpret, prim, sub_g,
         )
 
     bt, bi, nv = _chunked(
-        one, [rays_t, cand, counts, nearb], s_tiles, chunk
+        one, [rays_t, cand, counts, nearb, submask], s_tiles, chunk
     )
     sb = rays_t.shape[2]
     bi = bi.reshape(s_tiles, sb)
@@ -320,18 +414,21 @@ def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
 
 def sweep_transmittance(packed, rays_t, cand, counts, t_min,
                         interpret: bool = False, chunk: int = TILE_CHUNK,
-                        prim: str = "tri"):
+                        prim: str = "tri", submask=None, sub_g: int = 1):
     """Shadow transmittance over per-tile candidate blocks: (tr (S, SB)
     in [0, 1], visits (S,)).  Per-ray t_max rides in rays_t row 8."""
     s_tiles, k_max = cand.shape
     nearb = jnp.zeros((s_tiles, k_max), jnp.float32)
+    submask = _resolve_submask(submask, cand, sub_g)
 
-    def one(rays_t, cand, counts, nearb):
+    def one(rays_t, cand, counts, nearb, submask):
         return _sweep_call(
             _trans_kernel, packed, rays_t, cand, counts, nearb,
-            t_min, 1, interpret, prim,
+            submask, t_min, 1, interpret, prim, sub_g,
         )
 
-    tr, nv = _chunked(one, [rays_t, cand, counts, nearb], s_tiles, chunk)
+    tr, nv = _chunked(
+        one, [rays_t, cand, counts, nearb, submask], s_tiles, chunk
+    )
     sb = rays_t.shape[2]
     return tr.reshape(s_tiles, sb), nv.reshape(s_tiles)

@@ -127,8 +127,14 @@ def trace_rays(
                             packet=packet)  # (R,4)
 
         m = surf.material
-        w_refr = mats.transparency[m]
-        w_refl = mats.reflection[m]
+        # Reflection/transparency map slots scale the continuation
+        # weights per hit (reference: Material textureIds — a black
+        # region of a reflection map makes the mirror matte there).
+        _, refl_scale, trans_scale = tex_ops.material_map_scales(
+            scene, m, surf.uv
+        )
+        w_refr = mats.transparency[m] * trans_scale
+        w_refl = mats.reflection[m] * refl_scale
         has_refr = w_refr > 1e-4
         w = jnp.where(has_refr, w_refr, w_refl)
         own = 1.0 - w

@@ -25,6 +25,7 @@ __all__ = [
     "value_noise",
     "tangent_basis",
     "apply_normal_maps",
+    "material_map_scales",
 ]
 
 # Bump-map height-gradient gain (reference: the fixed perturbation
@@ -70,6 +71,42 @@ def sample_texture(tex: Textures, tex_id, uv):
     bot = c01 * (1 - fx) + c11 * fx
     rgba = top * (1 - fy) + bot * fy
     return jnp.where((tex_id >= 0)[..., None], rgba, 1.0)
+
+
+def _luminance(rgba):
+    return (
+        0.299 * rgba[..., 0] + 0.587 * rgba[..., 1] + 0.114 * rgba[..., 2]
+    )
+
+
+def material_map_scales(scene, material, uv):
+    """Per-hit (specular, reflection, transparency) scale factors from
+    the material's three remaining texture slots (reference: Material
+    textureIds[specular/reflection/transparency] consumed in
+    advancedTextureMapping — SURVEY.md section 2.1).
+
+    Each factor is the texture's luminance at the hit UV, or 1.0 when
+    the slot is unset, so a white map is the identity and a black map
+    kills the channel (specular highlights gated off, mirrors matte,
+    glass opaque).  material (R,) int32; uv (R, 2).  Returns three (R,)
+    arrays; differentiable through the bilinear fetch.
+    """
+    tex = scene.textures
+    mats = scene.materials
+    if tex.count == 0:
+        one = jnp.ones(uv.shape[:-1], uv.dtype)
+        return one, one, one
+
+    def scale(tid_per_mat):
+        tid = tid_per_mat[material]
+        lum = _luminance(sample_texture(tex, tid, uv))
+        return jnp.where(tid >= 0, lum, 1.0)
+
+    return (
+        scale(mats.texture_specular),
+        scale(mats.texture_reflection),
+        scale(mats.texture_transparency),
+    )
 
 
 def tangent_basis(n):

@@ -83,14 +83,18 @@ def _chunked_min(t_fn, n: int, r_shape, dtype):
     """Scan primitive chunks, folding a running (best_t, best_idx).
 
     ``t_fn(start)`` must return the (R, C) t-matrix for the chunk at
-    ``start``.  n must be a multiple of the chunk size (pools are padded).
+    ``start``.  ``n`` may be ANY size: the final partial chunk's start
+    is clamped to ``n - chunk`` so the slice stays in range, and the
+    SAME clamped start is the index base — re-testing the overlap rows
+    is idempotent under min, and indices stay correct (ADVICE r03
+    high #2: the unclamped base shifted last-chunk hit indices).
     """
     chunk = min(_PRIM_CHUNK, n)
     n_chunks = (n + chunk - 1) // chunk
 
     def body(carry, ci):
         best_t, best_i = carry
-        start = ci * chunk
+        start = jnp.minimum(ci * chunk, n - chunk)
         t = t_fn(start, chunk)  # (R, C)
         c_min = jnp.min(t, axis=-1)
         c_arg = jnp.argmin(t, axis=-1).astype(jnp.int32) + start
@@ -403,13 +407,21 @@ def _compacted_net(need, carry, walk_chunk):
     )
 
 
-def _compacted_tiles(need, carry, chunk_fn, frac: int = 4):
+def _compacted_tiles(need, carry, chunk_fn):
     """Tile-granularity analog of :func:`_compacted_net`: process only
-    the tiles flagged in ``need`` (S,), in chunks of S//frac, each under
-    ``lax.cond``.  ``chunk_fn(tidx, act, carry)`` sweeps one compacted
-    tile chunk and scatters into ``carry``."""
+    the tiles flagged in ``need`` (S,), in TILE_CHUNK-sized compacted
+    chunks, each under ``lax.cond``.  ``chunk_fn(tidx, act, carry)``
+    sweeps one compacted tile chunk and scatters into ``carry``.
+
+    The chunk size is min(S, pallas_kernels.TILE_CHUNK) so every
+    escalation sweep re-uses the pass-1 kernel's (chunk, k1) grid shape
+    — a differently-shaped chunk would compile a SECOND Mosaic kernel
+    at ~minutes through the remote helper (ADVICE r03 medium #3: the
+    old S//4 cap did exactly that for frames under 1024 tiles)."""
+    from solr_tpu.ops.pallas_kernels import TILE_CHUNK
+
     s = need.shape[0]
-    cap = max(8, -(-s // frac))
+    cap = min(s, TILE_CHUNK)
     n_chunks = -(-s // cap)
     tidx_all = jnp.nonzero(need, size=n_chunks * cap, fill_value=s)[0]
 
@@ -431,6 +443,27 @@ def _compacted_tiles(need, carry, chunk_fn, frac: int = 4):
     )
 
 
+def _pad_cols(a, width: int, fill=0):
+    """Right-pad a (S, K) array to ``width`` columns with ``fill``."""
+    k = a.shape[1]
+    if k >= width:
+        return a
+    return jnp.pad(a, ((0, 0), (0, width - k)), constant_values=fill)
+
+
+def _sub_g(tile_rays: int) -> int:
+    """Sub-bundles per tile for the kernel's sub-bundle masking: 32-ray
+    strips (2 pixel rows of a 16-wide tile), capped at 8 so the bitmask
+    fits comfortably and the kernel body stays small.  1 when the tile
+    does not divide evenly (masking off)."""
+    import os
+
+    g = int(os.environ.get("SOLR_PACKET_SUBG", "8"))
+    if g <= 1 or tile_rays % g or (tile_rays // g) % 8:
+        return 1
+    return g
+
+
 def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     """Packet closest hit: two-level cull -> nearest-first candidate
     sweep (Pallas grid-pipelined kernel on TPU, XLA block scan
@@ -438,16 +471,18 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
 
     Exactness ladder (VERDICT r02 next-round item 2, option a):
       pass 1: sweep the K nearest candidates per tile;
-      pass 2: tiles whose result is not yet provably exact (some live
-        ray's best hit — capped by its scene-box exit — is not closer
-        than the nearest dropped candidate) re-sweep their NEXT K2
-        candidates through the same kernel; satisfied tiles have
-        count 0 and skip every step;
-      net: any ray still unproven (super-cap drop or > K+K2 real
-        candidates) re-walks the skip-pointer BVH under ``lax.cond`` —
-        with the default caps this predicate is false on bench-scale
-        frames and the walk costs nothing (r02's 41%-rewalk collapse,
-        weak #2, is paid only by genuinely pathological tiles).
+      passes 2..P: tiles whose result is not yet provably exact (some
+        live ray's best hit — capped by its scene-box exit — is not
+        closer than the nearest unvisited candidate) re-sweep their
+        next k1 candidates through the same kernel, COMPACTED so cost
+        tracks the escalating-tile count; the passes run inside ONE
+        `fori_loop` whose body slices a k1-wide candidate window, so
+        the whole ladder compiles a single Mosaic kernel (the round-3
+        unrolled passes pushed the frame compile to 373 s);
+      net: any ray still unproven (cap drop at either cull level)
+        brute-forces compacted under ``lax.cond`` — with adequate caps
+        this predicate is false on bench-scale frames and the walk
+        costs nothing.
     """
     from solr_tpu.constants import PARK_THRESHOLD
     from solr_tpu.ops import bvh as bvh_mod
@@ -483,6 +518,11 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     t_cap = pk.ray_box_exit(o_t, d_t, bmin, bmax)  # (S, SB)
 
     use_pallas = _use_pallas()
+    sub_g = _sub_g(tile_rays) if use_pallas else 1
+    bits = (
+        pk.subbundle_bits(o_t, d_t, live, cand, accel.block_bounds, sub_g)
+        if sub_g > 1 else jnp.ones_like(cand)
+    )
     if use_pallas:
         from solr_tpu.ops.pallas_kernels import (
             make_rays16t, sweep_closest,
@@ -490,11 +530,11 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
 
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_cap, live_t=live)
 
-    def sweep(rays_sel, o_sel, d_sel, cand_p, counts_p, nearb_p):
+    def sweep(rays_sel, o_sel, d_sel, cand_p, counts_p, nearb_p, bits_p):
         if use_pallas:
             bt, bi, _ = sweep_closest(
                 accel.packed, rays_sel, cand_p, counts_p, nearb_p, t_min,
-                prim=prim,
+                prim=prim, submask=bits_p, sub_g=sub_g,
             )
             return bt, bi
         return pk.tri_blocks_closest(
@@ -504,50 +544,67 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     rays_all = rays_t if use_pallas else None
     counts1 = jnp.minimum(counts, k1)
     bt, bi = sweep(rays_all, o_t, d_t, cand[:, :k1], counts1,
-                   near_bound[:, : k1 + 1])
+                   near_bound[:, : k1 + 1], bits[:, :k1])
 
-    # Cap escalation: depth-chunked passes of k1 candidates each, over
-    # COMPACTED escalating tiles only.  Every pass re-uses the pass-1
-    # kernel shape (grid (chunk, k1)) — a distinctly-shaped K2 kernel
-    # would cost its own ~5 min Mosaic compile through the remote
-    # helper, and skipped grid steps are not free at runtime (~0.2 us
-    # each, serialized on the one TensorCore).
+    # Cap escalation: one fori_loop over depth passes of k1 candidates
+    # each, over COMPACTED escalating tiles only.  Every pass re-uses
+    # the pass-1 kernel shape (grid (chunk, k1)) — a distinctly-shaped
+    # K2 kernel would cost its own ~5 min Mosaic compile through the
+    # remote helper, and skipped grid steps are not free at runtime
+    # (~0.2 us each, serialized on the one TensorCore).
     s_tiles_n = counts.shape[0]
     k_eff = cand.shape[1]  # two_level_select clamps k1+k2 to the real
     #                        child-candidate width on tiny scenes
     n_passes = -(-max(k_eff - k1, 0) // k1) if k2 > 0 else 0
-    for p in range(1, n_passes + 1):
-        lo = p * k1
-        hi = min(lo + k1, k_eff)
-        # A tile escalates into pass p when it has candidates at this
-        # depth AND some live ray is not yet provably done before them.
-        more = counts > lo
-        bound_lo = near_sorted[:, lo]
-        need_p = live & (
-            jnp.minimum(bt, t_cap)
-            > jnp.where(more, bound_lo, T_FAR)[:, None]
-        )
-        tile_need = jnp.any(need_p, axis=1) & more
-        counts_p = jnp.clip(counts - lo, 0, hi - lo).astype(counts.dtype)
+    if n_passes > 0:
+        # Column-pad every per-candidate array to (n_passes + 1) * k1 so
+        # each pass's dynamic window is a full k1 wide (the final pass's
+        # padding columns carry count 0 / +FAR bounds and never run).
+        k_pad = (n_passes + 1) * k1
+        cand_all = _pad_cols(cand, k_pad)
+        bits_all = _pad_cols(bits, k_pad)
+        near_sorted_all = _pad_cols(near_sorted, k_pad, T_FAR)
+        nb_all = _pad_cols(near_bound, k_pad + 1, T_FAR)
 
-        def esc_chunk(tidx, act, carry, lo=lo, hi=hi, counts_p=counts_p):
-            bt_c, bi_c = carry
-            safe = jnp.minimum(tidx, s_tiles_n - 1)
-            cnt = jnp.where(act, counts_p[safe], 0)
-            bt2, bi2 = sweep(
-                None if rays_all is None else rays_all[safe],
-                o_t[safe], d_t[safe],
-                cand[safe, lo:hi], cnt, near_bound[safe, lo : hi + 1],
+        def pass_body(p, carry):
+            bt, bi = carry
+            lo = p * k1
+            # A tile escalates into pass p when it has candidates at
+            # this depth AND some live ray is not provably done first.
+            more = counts > lo
+            bound_lo = jax.lax.dynamic_slice_in_dim(
+                near_sorted_all, lo, 1, axis=1
+            )[:, 0]
+            need_p = live & (
+                jnp.minimum(bt, t_cap)
+                > jnp.where(more, bound_lo, T_FAR)[:, None]
             )
-            better = bt2 < bt_c[safe]
-            new_t = jnp.where(better, bt2, bt_c[safe])
-            new_i = jnp.where(better, bi2, bi_c[safe])
-            return (
-                bt_c.at[tidx].set(new_t, mode="drop"),
-                bi_c.at[tidx].set(new_i, mode="drop"),
-            )
+            tile_need = jnp.any(need_p, axis=1) & more
+            counts_p = jnp.clip(counts - lo, 0, k1).astype(counts.dtype)
+            cand_sl = jax.lax.dynamic_slice_in_dim(cand_all, lo, k1, 1)
+            bits_sl = jax.lax.dynamic_slice_in_dim(bits_all, lo, k1, 1)
+            nb_sl = jax.lax.dynamic_slice_in_dim(nb_all, lo, k1 + 1, 1)
 
-        bt, bi = _compacted_tiles(tile_need, (bt, bi), esc_chunk)
+            def esc_chunk(tidx, act, carry):
+                bt_c, bi_c = carry
+                safe = jnp.minimum(tidx, s_tiles_n - 1)
+                cnt = jnp.where(act, counts_p[safe], 0)
+                bt2, bi2 = sweep(
+                    None if rays_all is None else rays_all[safe],
+                    o_t[safe], d_t[safe],
+                    cand_sl[safe], cnt, nb_sl[safe], bits_sl[safe],
+                )
+                better = bt2 < bt_c[safe]
+                new_t = jnp.where(better, bt2, bt_c[safe])
+                new_i = jnp.where(better, bi2, bi_c[safe])
+                return (
+                    bt_c.at[tidx].set(new_t, mode="drop"),
+                    bi_c.at[tidx].set(new_i, mode="drop"),
+                )
+
+            return _compacted_tiles(tile_need, (bt, bi), esc_chunk)
+
+        bt, bi = jax.lax.fori_loop(1, n_passes + 1, pass_body, (bt, bi))
 
     if exact and net_bvh is not None:
         need = (
@@ -657,18 +714,24 @@ def scene_transmittance(
             continue
 
         # Brute force: product over all chunks of per-primitive factors.
-        def factor_chunk(start, chunk, code=code):
-            t = _pool_t_chunk(scene, code, o, d, start, chunk, t_min)  # (R,C)
-            occludes = t < t_max[..., None]
-            idx = start + jnp.arange(chunk)
-            f = mat_transparency(code, idx)[None, :]  # (1, C)
-            return jnp.prod(jnp.where(occludes, f, 1.0), axis=-1)
-
+        # The final partial chunk clamps its start and masks the rows the
+        # previous chunk already covered — transmittance factors must be
+        # applied exactly once (ADVICE r03 high #1: the unclamped index
+        # base paired occluders with the wrong material and the clamped
+        # slice squared overlap factors).
         chunk = min(_PRIM_CHUNK, size)
         n_chunks = (size + chunk - 1) // chunk
 
-        def body(carry, ci, chunk=chunk):
-            return carry * factor_chunk(ci * chunk, chunk), None
+        def body(carry, ci, chunk=chunk, code=code, size=size):
+            start = jnp.minimum(ci * chunk, size - chunk)
+            t = _pool_t_chunk(scene, code, o, d, start, chunk, t_min)
+            idx = start + jnp.arange(chunk)
+            fresh = idx >= ci * chunk  # rows not already processed
+            occludes = (t < t_max[..., None]) & fresh
+            f = mat_transparency(code, idx)[None, :]  # (1, C)
+            return carry * jnp.prod(
+                jnp.where(occludes, f, 1.0), axis=-1
+            ), None
 
         trans, _ = jax.lax.scan(body, trans, jnp.arange(n_chunks))
     return trans
@@ -721,6 +784,13 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
             )
         )
         use_pallas = _use_pallas()
+        sub_g = _sub_g(tile_rays) if use_pallas else 1
+        bits = (
+            pk.subbundle_bits_capsule(
+                o_t, d_t, tm_t, live, cand, accel.block_bounds, sub_g
+            )
+            if sub_g > 1 else jnp.ones_like(cand)
+        )
         if use_pallas:
             from solr_tpu.ops.pallas_kernels import (
                 make_rays16t, sweep_transmittance,
@@ -728,11 +798,12 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
 
             rays_t = make_rays16t(o_t, d_t, tmax_t=tm_t, live_t=live)
 
-        def sweep(rays_sel, o_sel, d_sel, tm_sel, cand_p, counts_p):
+        def sweep(rays_sel, o_sel, d_sel, tm_sel, cand_p, counts_p,
+                  bits_p):
             if use_pallas:
                 tr, _ = sweep_transmittance(
                     accel.packed, rays_sel, cand_p, counts_p, t_min,
-                    prim=prim,
+                    prim=prim, submask=bits_p, sub_g=sub_g,
                 )
                 return tr
             return pk.tri_blocks_transmittance(
@@ -742,40 +813,56 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
 
         rays_all = rays_t if use_pallas else None
         tr = sweep(rays_all, o_t, d_t, tm_t, cand[:, :k1],
-                   jnp.minimum(counts, k1))
-        # Transmittance needs EVERY occluder: depth-chunked escalation
+                   jnp.minimum(counts, k1), bits[:, :k1])
+        # Transmittance needs EVERY occluder: a fori_loop of depth
         # passes of k1 candidates over compacted overflowing tiles,
         # re-using the pass-1 kernel shape (see the closest-hit
         # escalation for why both properties matter).
         s_tiles_n = counts.shape[0]
         k_eff = cand.shape[1]
         n_passes = -(-max(k_eff - k1, 0) // k1) if k2 > 0 else 0
-        for p in range(1, n_passes + 1):
-            lo = p * k1
-            hi = min(lo + k1, k_eff)
-            counts_p = jnp.clip(counts - lo, 0, hi - lo).astype(
-                counts.dtype
-            )
+        if n_passes > 0:
+            k_pad = (n_passes + 1) * k1
+            cand_all = _pad_cols(cand, k_pad)
+            bits_all = _pad_cols(bits, k_pad)
 
-            def esc_chunk(tidx, act, carry, lo=lo, hi=hi,
-                          counts_p=counts_p):
-                (tr_c,) = carry
-                safe = jnp.minimum(tidx, s_tiles_n - 1)
-                cnt = jnp.where(act, counts_p[safe], 0)
-                tr2 = sweep(
-                    None if rays_all is None else rays_all[safe],
-                    o_t[safe], d_t[safe], tm_t[safe],
-                    cand[safe, lo:hi], cnt,
+            def pass_body(p, carry):
+                (tr,) = carry
+                lo = p * k1
+                counts_p = jnp.clip(counts - lo, 0, k1).astype(
+                    counts.dtype
                 )
-                tr2 = jnp.where(act[:, None], tr2, 1.0)
-                return (tr_c.at[tidx].mul(tr2, mode="drop"),)
+                cand_sl = jax.lax.dynamic_slice_in_dim(
+                    cand_all, lo, k1, 1
+                )
+                bits_sl = jax.lax.dynamic_slice_in_dim(
+                    bits_all, lo, k1, 1
+                )
 
-            (tr,) = _compacted_tiles(counts > lo, (tr,), esc_chunk)
-        # Unproven only when candidates exceeded BOTH passes or the
-        # super-block cap dropped something.
-        need = live & (
-            (counts > k1 + k2) | (dropped_super < _TF * 0.5)
-        )[:, None]
+                def esc_chunk(tidx, act, carry):
+                    (tr_c,) = carry
+                    safe = jnp.minimum(tidx, s_tiles_n - 1)
+                    cnt = jnp.where(act, counts_p[safe], 0)
+                    tr2 = sweep(
+                        None if rays_all is None else rays_all[safe],
+                        o_t[safe], d_t[safe], tm_t[safe],
+                        cand_sl[safe], cnt, bits_sl[safe],
+                    )
+                    tr2 = jnp.where(act[:, None], tr2, 1.0)
+                    return (tr_c.at[tidx].mul(tr2, mode="drop"),)
+
+                return _compacted_tiles(counts > lo, (tr,), esc_chunk)
+
+            (tr,) = jax.lax.fori_loop(1, n_passes + 1, pass_body, (tr,))
+        # Unproven whenever EITHER cull level dropped a candidate
+        # (``dropped`` = min of the super- and child-level drop
+        # sentinels, +FAR when nothing was dropped).  The old predicate
+        # `(counts > k1+k2) | dropped_super` was part-dead — counts is
+        # clamped to the candidate width, so child-level cap drops
+        # silently skipped occluders (ADVICE r03 low #4).  Capsule-cull
+        # slack is not a distance along the ray, so no per-ray distance
+        # refinement applies here, unlike the closest-hit net.
+        need = live & (dropped < _TF * 0.5)[:, None]
         return tr.reshape(o2.shape[:-1]), need.reshape(o2.shape[:-1])
 
     def net(o2, d2, tm2, tr, need):  # conditional exactness walk
@@ -833,9 +920,14 @@ def _pool_transmittance_brute(scene: Scene, code: int, o, d, t_max,
     n_chunks = (size + chunk - 1) // chunk
 
     def body(carry, ci):
-        t = _pool_t_chunk(scene, code, o, d, ci * chunk, chunk, t_min)
-        occludes = t < t_max[..., None]
-        idx = ci * chunk + jnp.arange(chunk)
+        # Clamped start + fresh-row mask: see the brute-force branch of
+        # scene_transmittance (ADVICE r03 high #1 — factors must apply
+        # exactly once, with the material of the RIGHT primitive).
+        start = jnp.minimum(ci * chunk, size - chunk)
+        t = _pool_t_chunk(scene, code, o, d, start, chunk, t_min)
+        idx = start + jnp.arange(chunk)
+        fresh = idx >= ci * chunk
+        occludes = (t < t_max[..., None]) & fresh
         mat = _pool_material(scene, code, idx)
         f = jnp.where(
             scene.materials.emission[mat] > 0.0,

@@ -91,6 +91,9 @@ class SceneBuilder:
         texture_diffuse: int = -1,
         texture_normal: int = -1,
         texture_bump: int = -1,
+        texture_specular: int = -1,
+        texture_reflection: int = -1,
+        texture_transparency: int = -1,
         procedural: ProceduralKind = ProceduralKind.NONE,
         procedural_scale: float = 8.0,
     ) -> int:
@@ -105,6 +108,9 @@ class SceneBuilder:
                 texture_diffuse=int(texture_diffuse),
                 texture_normal=int(texture_normal),
                 texture_bump=int(texture_bump),
+                texture_specular=int(texture_specular),
+                texture_reflection=int(texture_reflection),
+                texture_transparency=int(texture_transparency),
                 procedural=int(procedural),
                 procedural_scale=float(procedural_scale),
             )
@@ -303,6 +309,15 @@ class SceneBuilder:
             ),
             texture_bump=jnp.asarray(
                 [m["texture_bump"] for m in self._mat], jnp.int32
+            ),
+            texture_specular=jnp.asarray(
+                [m["texture_specular"] for m in self._mat], jnp.int32
+            ),
+            texture_reflection=jnp.asarray(
+                [m["texture_reflection"] for m in self._mat], jnp.int32
+            ),
+            texture_transparency=jnp.asarray(
+                [m["texture_transparency"] for m in self._mat], jnp.int32
             ),
             procedural=jnp.asarray(
                 [m["procedural"] for m in self._mat], jnp.int32

@@ -275,7 +275,10 @@ class RenderConfig:
     packet_tile_w: int = 16  # pixel-tile width (packet sub-bundle)
     packet_tile_h: int = 16  # pixel-tile height
     packet_max_blocks: int = 32  # per-sub-bundle candidate block cap (K)
-    packet_max_super: int = 24  # per-sub-bundle super-block cap (M)
+    packet_max_super: int = 48  # per-sub-bundle super-block cap (M);
+    #   round 3 measured M=16 dropping super-blocks on 31% of tiles and
+    #   feeding 13.8% of rays to the brute-force net — the cap exists
+    #   to bound the L2 cull matrix, not to be hit in normal frames
     packet_exact: bool = True  # fallback-walk rays whose candidate drop
     #                            is not provably safe (exactness net)
     packet_escalate_blocks: int = 96  # pass-2 sweep cap: tiles whose
@@ -322,6 +325,12 @@ class Materials:
     texture_diffuse: Any  # (M,) int32 texture id or -1
     texture_normal: Any  # (M,) int32 texture id or -1
     texture_bump: Any  # (M,) int32 texture id or -1
+    texture_specular: Any  # (M,) int32 texture id or -1; luminance
+    #   scales the specular strength at the hit (reference: Material
+    #   textureIds specular slot via advancedTextureMapping)
+    texture_reflection: Any  # (M,) int32; luminance scales reflection
+    texture_transparency: Any  # (M,) int32; luminance scales
+    #   transparency (also the refraction continuation weight)
     procedural: Any  # (M,) int32 ProceduralKind
     procedural_scale: Any  # (M,) procedural texture frequency
 

@@ -85,6 +85,11 @@ def main(argv=None):
     ap.add_argument("--metrics", default=None,
                     help="append per-sample/per-frame metrics JSONL "
                     "(rays/s, sample index) to this path")
+    ap.add_argument("--tile-rows", type=int, default=0,
+                    help="still mode: render in row-band chunks of this "
+                    "many rows, checkpointing each into "
+                    "--checkpoint-dir — a killed render resumes at the "
+                    "first incomplete chunk (tile-granular resume)")
     args = ap.parse_args(argv)
 
     from solr_tpu.scenes import SCENE_REGISTRY, make_scene
@@ -144,6 +149,28 @@ def main(argv=None):
     if args.frames <= 1 and args.spp > 1:
         _progressive(scene, camera, cfg, key, args, metrics, meter,
                      rays_per_sample)
+        return
+
+    if args.frames <= 1 and args.tile_rows > 0:
+        # Tile-granular resumable still (SURVEY.md section 5 failure
+        # detection: kill mid-frame, relaunch with the same args, and
+        # only incomplete chunks re-render).
+        from solr_tpu.ops import postfx as postfx_mod
+        from solr_tpu.utils.resumable import resumable_render
+
+        ckdir = args.checkpoint_dir or (args.out + ".ckpt")
+        t0 = time.time()
+        img, depth = resumable_render(
+            scene, camera, cfg, ckdir, rows_per_chunk=args.tile_rows,
+            log=(metrics.log if metrics else None),
+        )
+        img = postfx_mod.apply_postfx(img, depth, scene, camera, cfg,
+                                      None)
+        dt = time.time() - t0
+        print(f"rendered {args.width}x{args.height} in {dt:.1f}s "
+              f"(resumable chunks of {args.tile_rows} rows)")
+        save_image(args.out, np.asarray(img)[..., :3])
+        print(f"wrote {args.out}")
         return
 
     if args.frames <= 1:

@@ -217,3 +217,77 @@ class TestTransmittance:
         )
         np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_x),
                                    rtol=1e-6)
+
+
+class TestSubBundleMasking:
+    """Sub-bundle masking (round-4 compute lever) must be invisible in
+    results: the per-sub-bundle cull is conservative, so the masked
+    sweep returns bit-identical hits/transmittance vs the whole-tile
+    sweep, while skipping work for strips that cannot hit a block."""
+
+    def test_closest_matches_unmasked(self, setup):
+        accel, o_t, d_t, cand, counts, near_bound = setup
+        live = jnp.ones(o_t.shape[:2], bool)
+        g = 8
+        bits = pk.subbundle_bits(
+            o_t, d_t, live, cand, accel.block_bounds, g
+        )
+        rays_t = make_rays16t(o_t, d_t)
+        t_m, i_m, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True, submask=bits, sub_g=g,
+        )
+        t_u, i_u, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_u),
+                                   rtol=1e-6)
+        hit = np.asarray(t_u) < 1e30
+        np.testing.assert_array_equal(
+            np.asarray(i_m)[hit], np.asarray(i_u)[hit]
+        )
+        # The mask must actually clear some bits on this workload.
+        full = (1 << g) - 1
+        assert (np.asarray(bits) != full).any()
+
+    def test_transmittance_matches_unmasked(self, setup):
+        accel, o_t, d_t, cand, counts, near_bound = setup
+        t_max = jnp.full(o_t.shape[:2], 50.0, jnp.float32)
+        live = jnp.ones(o_t.shape[:2], bool)
+        g = 8
+        bits = pk.subbundle_bits_capsule(
+            o_t, d_t, t_max, live, cand, accel.block_bounds, g
+        )
+        rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
+        tr_m, _ = sweep_transmittance(
+            accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
+            submask=bits, sub_g=g,
+        )
+        tr_u, _ = sweep_transmittance(
+            accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(tr_m), np.asarray(tr_u),
+                                   rtol=1e-6)
+
+    def test_bits_conservative_vs_bruteforce(self, setup):
+        """Every real hit must come from a block whose sub-bundle bit
+        is set: intersect every candidate block with every ray and
+        check hits only occur where the bit allows them."""
+        accel, o_t, d_t, cand, counts, near_bound = setup
+        live = jnp.ones(o_t.shape[:2], bool)
+        g = 8
+        ssb = o_t.shape[1] // g
+        bits = np.asarray(pk.subbundle_bits(
+            o_t, d_t, live, cand, accel.block_bounds, g
+        ))
+        counts_np = np.asarray(counts)
+        s_check = min(8, o_t.shape[0])
+        for s in range(s_check):
+            for k in range(int(counts_np[s])):
+                w = accel.packed[cand[s, k]][None]
+                t = pk._woop_t(o_t[s:s + 1], d_t[s:s + 1], w, 1e-4)
+                t = np.asarray(t)[0]  # (SB, BLOCK)
+                hit_sub = (t < 1e30).any(axis=1).reshape(g, ssb).any(1)
+                allowed = (bits[s, k] >> np.arange(g)) & 1
+                assert not (hit_sub & (allowed == 0)).any()
