@@ -87,3 +87,102 @@ def test_native_triangle_aabbs():
     assert got is not None
     npt.assert_allclose(got[0], np.minimum(np.minimum(v0, v1), v2))
     npt.assert_allclose(got[1], np.maximum(np.maximum(v0, v1), v2))
+
+
+class TestNativeObjParser:
+    """Native C++ OBJ parser vs the Python fallback (reference analog:
+    OBJReader.cpp).  Same geometry, normals, uvs, and materials must
+    come out of both paths (triangle ORDER may differ: the native path
+    groups faces by usemtl slot, the Python path by builder id)."""
+
+    OBJ = """\
+mtllib demo.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+v 0 0 1
+vn 0 0 1
+vn 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+usemtl red
+f 1/1/1 2/2/1 3/3/1 4/4/1
+usemtl blue
+f 1/1/2 2/2/2 5/1/2
+f 3/3/2 4/4/2 5/1/2
+"""
+    MTL = """\
+newmtl red
+Kd 0.8 0.1 0.1
+newmtl blue
+Kd 0.1 0.1 0.8
+"""
+
+    def _load(self, tmp_path, use_native):
+        import os
+
+        import solr_tpu as st
+        from solr_tpu.io.obj import load_obj
+
+        d = tmp_path / ("n" if use_native else "p")
+        d.mkdir()
+        (d / "demo.obj").write_text(self.OBJ)
+        (d / "demo.mtl").write_text(self.MTL)
+        b = st.SceneBuilder()
+        old = os.environ.pop("SOLR_NO_NATIVE_OBJ", None)
+        try:
+            if not use_native:
+                os.environ["SOLR_NO_NATIVE_OBJ"] = "1"
+            load_obj(str(d / "demo.obj"), b, center=False)
+        finally:
+            os.environ.pop("SOLR_NO_NATIVE_OBJ", None)
+            if old:
+                os.environ["SOLR_NO_NATIVE_OBJ"] = old
+        return b
+
+    def test_matches_python_parser(self, tmp_path):
+        from solr_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        bn = self._load(tmp_path, True)
+        bp = self._load(tmp_path, False)
+
+        def rows(b):
+            out = []
+            for blk in b._triangles:
+                v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat = blk
+                for i in range(len(v0)):
+                    out.append(tuple(np.round(np.concatenate([
+                        v0[i], v1[i], v2[i], n0[i], n1[i], n2[i],
+                        uv0[i], uv1[i], uv2[i], [float(mat[i])],
+                    ]), 5)))
+            return sorted(out)
+
+        assert len(rows(bn)) == 4  # quad -> 2 + 2 single tris
+        assert rows(bn) == rows(bp)
+        # Materials parsed once per path; same count and colors.
+        assert len(bn._mat) == len(bp._mat)
+
+    def test_large_mesh_roundtrip(self, tmp_path):
+        """Native parse of a generated grid mesh must reproduce the
+        vertex positions bit-exactly (strtof path)."""
+        from solr_tpu.native import obj_load, native_available
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(500, 3)).astype(np.float32)
+        faces = rng.integers(1, 501, (300, 3))
+        lines = ["v %.9g %.9g %.9g" % tuple(p) for p in v]
+        lines += ["f %d %d %d" % tuple(f) for f in faces]
+        p = tmp_path / "grid.obj"
+        p.write_text("\n".join(lines) + "\n")
+        parsed = obj_load(str(p))
+        assert parsed is not None
+        np.testing.assert_allclose(parsed["v"], v, rtol=1e-6)
+        np.testing.assert_array_equal(parsed["f_v"], faces - 1)
+        assert (parsed["f_slot"] == -1).all()
