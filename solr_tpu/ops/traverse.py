@@ -885,6 +885,17 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
         return _compacted_net(need, (tr,), walk_chunk)[0]
 
     do_net = exact and net_bvh is not None
+    if o.ndim == 3 and o.shape[1] == 1:
+        # Single light (the common case): skip the per-light vmap
+        # entirely — under vmap every `lax.cond` in the escalation
+        # ladder lowers to a select that EXECUTES the compacted sweep
+        # chunks unconditionally (~1.6 ms of skipped grid steps per
+        # chunk), so the direct call keeps conditional skipping real.
+        tm = jnp.broadcast_to(t_max, o.shape[:-1])
+        tr, need = one_sweep(o[:, 0], d[:, 0], tm[:, 0])
+        if do_net:
+            tr = net(o[:, 0], d[:, 0], tm[:, 0], tr, need)
+        return tr[:, None]
     if o.ndim == 3:  # (R, L, 3): per-light bundles
         tm = jnp.broadcast_to(t_max, o.shape[:-1])
         tr, need = jax.vmap(one_sweep, in_axes=(1, 1, 1), out_axes=1)(
