@@ -259,6 +259,10 @@ def _run(n_tris, metrics):
     digest = float(np.asarray(fn(scene, cam)))
     compile_s = time.time() - t0
     assert np.isfinite(digest)
+    # The two-path protocol compares digests across Pallas/XLA runs in
+    # main() — a free on-hardware correctness check (same algorithm,
+    # two execution paths).
+    digest_val = digest
 
     best = float("inf")
     for _ in range(REPEATS):
@@ -282,10 +286,21 @@ def _run(n_tris, metrics):
         "scene_build_s": round(build_s, 1),
         "pallas": not os.environ.get("SOLR_NO_PALLAS"),
         "device": str(jax.devices()[0]),
+        "digest": digest_val,
     }
 
-    # Roofline + packet diagnostics: observability, never fatal.
+    # Roofline + packet diagnostics: observability, never fatal — and
+    # SKIPPED when the frame compile already ate the attempt budget
+    # (the remote compile helper degrades ~100x on some days,
+    # DEBUGGING.md section 6; each extra jit is another cold compile).
+    slow_day = compile_s > float(
+        os.environ.get("SOLR_BENCH_EXTRAS_BUDGET", 600)
+    )
     try:
+        if slow_day:
+            raise RuntimeError(
+                f"skipped: frame compile took {compile_s:.0f}s"
+            )
         cost = cost_summary(frame, scene, cam)
         result["roofline"] = {
             "flops": cost["flops"],
@@ -296,6 +311,10 @@ def _run(n_tris, metrics):
     except Exception as e:  # pragma: no cover
         result["roofline"] = {"error": str(e)[:120]}
     try:
+        if slow_day:
+            raise RuntimeError(
+                f"skipped: frame compile took {compile_s:.0f}s"
+            )
         result["packet"] = packet_diagnostics(scene, cam, cfg)
         # The round-3 collapse fired exactly here: a mis-sized net
         # quietly brute-forcing 14% of rays.  Make the assumption loud.
@@ -369,7 +388,7 @@ def main():
     from solr_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(_METRICS_PATH)
-    attempt_cap = int(os.environ.get("SOLR_BENCH_ATTEMPT_TIMEOUT", 1500))
+    attempt_cap = int(os.environ.get("SOLR_BENCH_ATTEMPT_TIMEOUT", 2400))
     total_cap = int(os.environ.get("SOLR_BENCH_TOTAL_TIMEOUT", 5400))
     t_start = time.time()
 
@@ -391,9 +410,20 @@ def main():
         result = dict(max(paths.values(), key=lambda r: r["value"]))
         result["paths"] = {
             name: {k: r[k] for k in
-                   ("value", "frame_ms", "compile_s") if k in r}
+                   ("value", "frame_ms", "compile_s", "digest") if k in r}
             for name, r in paths.items()
         }
+        # Cross-path digest agreement = on-hardware correctness check
+        # (identical algorithm through two execution paths).
+        if len(paths) == 2:
+            d = [r.get("digest") for r in paths.values()]
+            if all(x is not None for x in d) and abs(d[0]) > 1e-9:
+                rel = abs(d[0] - d[1]) / abs(d[0])
+                result["path_digest_rel_diff"] = round(rel, 6)
+                if rel > 1e-3:
+                    result["warning"] = (
+                        "pallas/xla digests disagree beyond 1e-3"
+                    )
     else:
         # Phase 2: degradation ladder at reduced scale.
         for n in (N_TRIS // 5, N_TRIS // 20):

@@ -52,6 +52,9 @@ __all__ = [
     "SUPER",
     "sphere_pack",
     "build_sph_accel",
+    "cylinder_pack",
+    "build_cyl_accel",
+    "cyl_core",
     "make_bundles",
     "capsule_bundles",
     "cull_leaves",
@@ -553,6 +556,66 @@ def sphere_pack(spheres, factor=None):
     return packed, centers, half_extents
 
 
+def cylinder_pack(cyls, factor=None):
+    """Pack the cylinder pool into per-BLOCK data for the sweep kernels:
+    (packed (B, 16, BLOCK), centers (B, 3), half_extents (B, 3)).
+
+    Rows 0..2 = p0 xyz, row 3 = radius, rows 4..6 = axis (p1 - p0),
+    row 7 = |axis|^2 (precomputed so the kernel skips a dot), rows
+    8..14 zero, row 15 = per-cylinder shadow ``factor``.  Padding
+    cylinders (radius <= 0) never hit and are excluded from bounds.
+    """
+    n = cyls.radius.shape[0]
+    b = (n + BLOCK - 1) // BLOCK
+    pad = b * BLOCK - n
+    p0, p1, rad = cyls.p0, cyls.p1, cyls.radius
+    if pad:
+        p0 = jnp.pad(p0, ((0, pad), (0, 0)))
+        p1 = jnp.pad(p1, ((0, pad), (0, 0)))
+        rad = jnp.pad(rad, (0, pad), constant_values=-1.0)
+    axis = p1 - p0
+    h2 = dot(axis, axis)
+    zeros = jnp.zeros((b * BLOCK,), p0.dtype)
+    if factor is None:
+        fac = zeros
+    else:
+        fac = jnp.pad(factor, (0, pad), constant_values=1.0) if pad \
+            else factor
+    comps = [
+        p0[:, 0], p0[:, 1], p0[:, 2], rad,
+        axis[:, 0], axis[:, 1], axis[:, 2], h2,
+    ] + [zeros] * 7 + [fac]
+    packed = jnp.stack([x.reshape(b, BLOCK) for x in comps], axis=1)
+
+    real = rad > 0.0
+    big = jnp.asarray(1e30, p0.dtype)
+    lo = jnp.minimum(p0, p1) - rad[:, None]
+    hi = jnp.maximum(p0, p1) + rad[:, None]
+    vmin = jnp.where(real[:, None], lo, big)
+    vmax = jnp.where(real[:, None], hi, -big)
+    bmin = vmin.reshape(b, BLOCK, 3).min(axis=1)
+    bmax = vmax.reshape(b, BLOCK, 3).max(axis=1)
+    empty = bmax[:, 0] < bmin[:, 0]
+    centers = jnp.where(empty[:, None], big, 0.5 * (bmin + bmax))
+    half_extents = jnp.where(
+        empty[:, None], 0.0, 0.5 * (bmax - bmin) + 1e-5
+    )
+    return packed, centers, half_extents
+
+
+def build_cyl_accel(cylinders, materials):
+    """Cylinder-pool sweep accelerator (PDB sticks / SWC neurite
+    scenes: tens of thousands of segments crawl through the per-ray
+    BVH gather walk).  Same block/super structure as the triangle
+    accel; row 15 carries the shadow factor."""
+    m = cylinders.material
+    factor = jnp.where(
+        materials.emission[m] > 0.0, 1.0, materials.transparency[m]
+    )
+    packed, centers, half = cylinder_pack(cylinders, factor)
+    return _group_blocks(packed, centers, half)
+
+
 def _group_blocks(packed, centers, half):
     """Shared tail of build_*_accel: pad to the SUPER/128 alignment and
     derive block + super-block bound arrays."""
@@ -798,7 +861,71 @@ def _sphere_t_blocks(o_t, d_t, w, t_min):
     return jnp.minimum(t1, t2)
 
 
-_PRIM_T = {"tri": _woop_t, "sphere": _sphere_t_blocks}
+def cyl_core(c, r, t_min):
+    """Capped-cylinder intersection core shared by the XLA block form
+    and the Pallas rows form; mirrors solr_tpu.ops.intersect.
+    cylinder_t_p exactly (side surface + both end-cap disks, two-sided,
+    radius <= 0 padding never hits).
+
+    ``c(i)`` yields ray component i (0..2 origin, 4..6 direction);
+    ``r(i)`` yields packed block row i (cylinder_pack layout).  Both
+    must broadcast against each other.
+    """
+    from solr_tpu.constants import INTERSECT_EPS
+
+    ocx, ocy, ocz = c(0) - r(0), c(1) - r(1), c(2) - r(2)
+    dx, dy, dz = c(4), c(5), c(6)
+    rad = r(3)
+    h2 = r(7)
+    inv_h2 = 1.0 / jnp.maximum(h2, INTERSECT_EPS)
+    d_a = dx * r(4) + dy * r(5) + dz * r(6)
+    oc_a = ocx * r(4) + ocy * r(5) + ocz * r(6)
+    a = 1.0 - d_a * d_a * inv_h2
+    b = (ocx * dx + ocy * dy + ocz * dz) - d_a * oc_a * inv_h2
+    cq = (ocx * ocx + ocy * ocy + ocz * ocz) - oc_a * oc_a * inv_h2 \
+        - rad * rad
+    safe_a = jnp.maximum(a, INTERSECT_EPS)
+    disc = b * b - safe_a * cq
+    base = (disc > 0.0) & (a > INTERSECT_EPS) & (rad > 0.0)
+    sq = jnp.sqrt(jnp.where(base, disc, 1.0))
+    t1 = (-b - sq) / safe_a
+    t2 = (-b + sq) / safe_a
+    s1 = oc_a + t1 * d_a
+    s2 = oc_a + t2 * d_a
+    t1 = jnp.where(
+        base & (s1 >= 0.0) & (s1 <= h2) & (t1 > t_min), t1, T_FAR
+    )
+    t2 = jnp.where(
+        base & (s2 >= 0.0) & (s2 <= h2) & (t2 > t_min), t2, T_FAR
+    )
+    t_side = jnp.minimum(t1, t2)
+
+    ax_safe = jnp.abs(d_a) > INTERSECT_EPS
+    inv_da = jnp.where(ax_safe, 1.0, 0.0) / jnp.where(ax_safe, d_a, 1.0)
+
+    def cap(plane_s, off_scale):
+        tc = (plane_s - oc_a) * inv_da
+        qx = ocx + tc * dx - off_scale * r(4)
+        qy = ocy + tc * dy - off_scale * r(5)
+        qz = ocz + tc * dz - off_scale * r(6)
+        rad2 = qx * qx + qy * qy + qz * qz
+        ok = ax_safe & (rad > 0.0) & (rad2 <= rad * rad) & (tc > t_min)
+        return jnp.where(ok, tc, T_FAR)
+
+    return jnp.minimum(t_side, jnp.minimum(cap(0.0, 0.0), cap(h2, 1.0)))
+
+
+def _cyl_t_blocks(o_t, d_t, w, t_min):
+    """Cylinder-block test, SoA broadcast form: rays (T, TR, 3) x packed
+    cylinder rows w (T, 16, BLOCK) -> t (T, TR, BLOCK)."""
+    r = lambda i: w[:, None, i, :]  # (T, 1, BLOCK)
+    comp = {0: o_t[..., 0:1], 1: o_t[..., 1:2], 2: o_t[..., 2:3],
+            4: d_t[..., 0:1], 5: d_t[..., 1:2], 6: d_t[..., 2:3]}
+    return cyl_core(lambda i: comp[i], r, t_min)
+
+
+_PRIM_T = {"tri": _woop_t, "sphere": _sphere_t_blocks,
+           "cyl": _cyl_t_blocks}
 
 
 def tri_blocks_closest(packed, o_t, d_t, cand, counts, t_min,

@@ -147,7 +147,21 @@ def _sphere_rows(rays, w, t_min):
     return jnp.minimum(t1, t2)
 
 
-_PRIM_ROWS = {"tri": _woop_rows, "sphere": _sphere_rows}
+def _cyl_rows(rays, w, t_min):
+    """Ray-cylinder block test: rays (SB, 16) x cylinder block rows
+    (16, BLOCK) -> t (SB, BLOCK); rows per solr_tpu.ops.packet.
+    cylinder_pack, math shared with the XLA form via packet.cyl_core
+    (capped cylinder matching intersect.cylinder_t_p).  Makes PDB
+    sticks / SWC neurite pools sweepable."""
+    from solr_tpu.ops.packet import cyl_core
+
+    r = lambda i: w[i : i + 1, :]  # (1, BLOCK)
+    c = lambda i: rays[:, i : i + 1]  # (SB, 1)
+    return cyl_core(c, r, t_min)
+
+
+_PRIM_ROWS = {"tri": _woop_rows, "sphere": _sphere_rows,
+              "cyl": _cyl_rows}
 
 
 def _closest_kernel(
@@ -156,6 +170,7 @@ def _closest_kernel(
     slab_ref,  # (1, 16, BLOCK): candidate k's packed block
     bt_ref, bi_ref,  # (1, SB, 1) outputs, resident across k
     nv_ref,  # (1, 1, 1) visit counter
+    rsc_ref,  # (SB, 16) VMEM scratch: rays transposed ONCE per tile
     *, block, t_min, prim, sub_g,
 ):
     s = pl.program_id(0)
@@ -168,8 +183,13 @@ def _closest_kernel(
         bt_ref[0] = jnp.full((sb, 1), T_FAR, jnp.float32)
         bi_ref[0] = jnp.full((sb, 1), _BIG_I, jnp.int32)
         nv_ref[0] = jnp.zeros((1, 1), jnp.int32)
+        # One (16, SB) -> (SB, 16) relayout per TILE, not per step: the
+        # per-step transpose measured ~60% of a visited step's 5.9 us
+        # (tools/probe_sweep.py, round 4) — rays are resident across k,
+        # so the scratch pays it once per K candidates.
+        rsc_ref[...] = rays_ref[0].T
 
-    rays = rays_ref[0].T  # (SB, 16): one relayout per (s, k) step
+    rays = rsc_ref[...]  # (SB, 16)
     live = rays[:, 9:10] > 0.0  # (SB, 1)
     bt = bt_ref[0]
     # Front-to-back early-out, PER SUB-BUNDLE: a sub-bundle skips once
@@ -240,6 +260,7 @@ def _trans_kernel(
     slab_ref,  # (1, 16, BLOCK); row 15 = per-prim shadow factor
     tr_ref,  # (1, SB, 1) transmittance, resident across k
     nv_ref,  # (1, 1, 1)
+    rsc_ref,  # (SB, 16) VMEM scratch: rays transposed once per tile
     *, block, t_min, prim, sub_g,
 ):
     s = pl.program_id(0)
@@ -251,8 +272,9 @@ def _trans_kernel(
     def _():
         tr_ref[0] = jnp.ones((sb, 1), jnp.float32)
         nv_ref[0] = jnp.zeros((1, 1), jnp.int32)
+        rsc_ref[...] = rays_ref[0].T  # once per tile (see _closest_kernel)
 
-    rays = rays_ref[0].T  # (SB, 16)
+    rays = rsc_ref[...]  # (SB, 16)
     live = rays[:, 9:10] > 0.0
     tr = tr_ref[0]
     # Occlusion has no distance order: visit every masked-in candidate,
@@ -331,6 +353,7 @@ def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, submask,
                           memory_space=pltpu.VMEM)] * n_out
         ) + (pl.BlockSpec((1, 1, 1), lambda s, k, *_: (s, 0, 0),
                           memory_space=pltpu.VMEM),),
+        scratch_shapes=[pltpu.VMEM((sb, 16), jnp.float32)],
     )
     val_dtypes = [jnp.float32, jnp.int32][:n_out]
     out_shape = tuple(

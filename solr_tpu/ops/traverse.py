@@ -299,6 +299,10 @@ def _scene_closest_hit_raw(
         elif packet_ok and code == POOL_SPHERE and scene.sph_accel is not None:
             t, i = _tri_packet_closest(scene, o, d, t_min, packet,
                                        prim="sphere")
+        elif packet_ok and code == POOL_CYLINDER and \
+                scene.cyl_accel is not None:
+            t, i = _tri_packet_closest(scene, o, d, t_min, packet,
+                                       prim="cyl")
         elif bvh is not None:
             t, i = bvh_mod.bvh_closest_hit(scene, bvh, code, o, d, t_min, t_max)
         else:
@@ -330,20 +334,29 @@ def _tri_accel(scene: Scene):
 
 
 def _pool_accel(scene: Scene, prim: str):
+    from solr_tpu.ops import packet as pk
+
     if prim == "sphere":
         if scene.sph_accel is not None:
             return scene.sph_accel
-        from solr_tpu.ops import packet as pk
-
         return pk.build_sph_accel(scene.spheres, scene.materials)
+    if prim == "cyl":
+        if scene.cyl_accel is not None:
+            return scene.cyl_accel
+        return pk.build_cyl_accel(scene.cylinders, scene.materials)
     return _tri_accel(scene)
 
 
 def _pool_net_bvh(scene: Scene, prim: str):
-    return scene.sph_bvh if prim == "sphere" else scene.tri_bvh
+    return {
+        "sphere": scene.sph_bvh,
+        "cyl": scene.cyl_bvh,
+        "tri": scene.tri_bvh,
+    }[prim]
 
 
-_PRIM_POOL = {"tri": POOL_TRIANGLE, "sphere": POOL_SPHERE}
+_PRIM_POOL = {"tri": POOL_TRIANGLE, "sphere": POOL_SPHERE,
+              "cyl": POOL_CYLINDER}
 
 
 def _scene_box(accel):
@@ -700,8 +713,10 @@ def scene_transmittance(
         if packet_ok and (
             code == POOL_TRIANGLE
             or (code == POOL_SPHERE and scene.sph_accel is not None)
+            or (code == POOL_CYLINDER and scene.cyl_accel is not None)
         ):
-            prim = "tri" if code == POOL_TRIANGLE else "sphere"
+            prim = {POOL_TRIANGLE: "tri", POOL_SPHERE: "sphere",
+                    POOL_CYLINDER: "cyl"}[code]
             trans = trans * _tri_packet_transmittance(
                 sg(scene), sg(o), sg(d), sg(t_max), t_min, packet,
                 prim=prim,

@@ -522,4 +522,13 @@ class SceneBuilder:
                     scene.spheres, scene.materials
                 )
             )
+        if cyl_bvh is not None:
+            # Cylinder-pool sweep accel (PDB sticks / SWC neurites).
+            from solr_tpu.ops.packet import build_cyl_accel
+
+            scene = scene.replace(
+                cyl_accel=jax.jit(build_cyl_accel)(
+                    scene.cylinders, scene.materials
+                )
+            )
         return scene

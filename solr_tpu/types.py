@@ -507,6 +507,7 @@ class Scene:
     cyl_bvh: Optional[BVH] = None
     tri_accel: Optional[TriAccel] = None
     sph_accel: Optional[TriAccel] = None  # sphere-pool sweep accel
+    cyl_accel: Optional[TriAccel] = None  # cylinder-pool sweep accel
 
     # ---- differentiable parameter view (north-star gradient targets) ----
 
@@ -558,5 +559,11 @@ class Scene:
 
             updates["sph_accel"] = jax.lax.stop_gradient(
                 build_sph_accel(self.spheres, self.materials)
+            )
+        if self.cyl_accel is not None:
+            from solr_tpu.ops.packet import build_cyl_accel
+
+            updates["cyl_accel"] = jax.lax.stop_gradient(
+                build_cyl_accel(self.cylinders, self.materials)
             )
         return self.replace(**updates) if updates else self

@@ -112,3 +112,16 @@ def random_tri_field(n: int, seed: int = 5, extent: float = 10.0):
         b.add_triangle(c, c + d1, c + d2, m)
     b.add_light((0, extent, 0), intensity=1.0)
     return b
+
+
+def random_cylinder_field(n: int, seed: int = 7, extent: float = 10.0):
+    """Many-cylinder scene (PDB-sticks-shaped) for sweep/BVH tests."""
+    rng = np.random.default_rng(seed)
+    b = st.SceneBuilder()
+    for i in range(n):
+        m = b.add_material(color=tuple(rng.uniform(0.2, 1.0, 3)) + (1.0,))
+        p0 = rng.uniform(-extent, extent, 3) + np.array([0, 0, extent * 1.5])
+        p1 = p0 + rng.normal(0, 1.0, 3)
+        b.add_cylinder(tuple(p0), tuple(p1), float(rng.uniform(0.1, 0.3)), m)
+    b.add_light((0, extent, 0), intensity=1.0)
+    return b

@@ -291,3 +291,112 @@ class TestSubBundleMasking:
                 hit_sub = (t < 1e30).any(axis=1).reshape(g, ssb).any(1)
                 allowed = (bits[s, k] >> np.arange(g)) & 1
                 assert not (hit_sub & (allowed == 0)).any()
+
+
+class TestCylinderSweep:
+    """Cylinder-pool sweep (PDB sticks / SWC neurite path): Pallas vs
+    XLA block path vs per-cylinder brute force."""
+
+    @pytest.fixture(scope="class")
+    def cyl_setup(self):
+        from scenes_fixtures import random_cylinder_field
+
+        scene = random_cylinder_field(700).build(bvh_threshold=64)
+        accel = scene.cyl_accel
+        assert accel is not None
+        cfg = st.RenderConfig(width=64, height=64)
+        o, d = camera_rays(CAM, cfg)
+        perm, _ = pk.tile_permutation(64, 64, 16, 16)
+        o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
+        d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
+        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
+        mask1, near1 = pk.cull_blocks(
+            po, ro, axis, cos_g,
+            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        )
+        cand, counts, _ns, near_bound, _d, _ds = pk.two_level_select(
+            mask1, near1, accel.block_bounds,
+            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg), 8, K,
+        )
+        return scene, accel, o_t, d_t, cand, counts, near_bound
+
+    def test_closest_matches_xla(self, cyl_setup):
+        scene, accel, o_t, d_t, cand, counts, near_bound = cyl_setup
+        t_x, i_x = pk.tri_blocks_closest(
+            accel.packed, o_t, d_t, cand, counts, 1e-4, prim="cyl"
+        )
+        rays_t = make_rays16t(o_t, d_t)
+        t_p, i_p, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            interpret=True, prim="cyl",
+        )
+        t_x, t_p = np.asarray(t_x), np.asarray(t_p)
+        hit = t_x < 1e30
+        assert hit.any()
+        np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(i_p)[hit], np.asarray(i_x)[hit]
+        )
+
+    def test_blocks_match_bruteforce(self, cyl_setup):
+        """All-candidate block sweep vs isect.cylinder_t over the whole
+        pool — pins the packed layout + capped-cylinder math."""
+        from solr_tpu.ops import intersect as isect
+
+        scene, accel, o_t, d_t, _c, _n, _nb = cyl_setup
+        nb = accel.packed.shape[0]
+        allcand = jnp.broadcast_to(
+            jnp.arange(nb, dtype=jnp.int32)[None], (o_t.shape[0], nb)
+        )
+        counts = jnp.full((o_t.shape[0],), nb, jnp.int32)
+        t_blk, _ = pk.tri_blocks_closest(
+            accel.packed, o_t, d_t, allcand, counts, 1e-4, prim="cyl"
+        )
+        o_f = o_t.reshape(-1, 3)
+        d_f = d_t.reshape(-1, 3)
+        t_ref = isect.cylinder_t(
+            o_f, d_f, scene.cylinders.p0, scene.cylinders.p1,
+            scene.cylinders.radius, 1e-4,
+        ).min(axis=-1)
+        t_blk = np.asarray(t_blk).reshape(-1)
+        t_ref = np.asarray(t_ref)
+        # Grazing rays can flip hit/miss between the two f32 evaluation
+        # orders (disc ~ 0); require > 99.9% agreement and tight t
+        # equality on agreeing hits.
+        hit_b = t_blk < 1e30
+        hit_r = t_ref < 1e30
+        assert (hit_b == hit_r).mean() > 0.999
+        both = hit_b & hit_r
+        np.testing.assert_allclose(t_blk[both], t_ref[both], rtol=5e-4)
+
+    def test_transmittance_matches_xla(self, cyl_setup):
+        scene, accel, o_t, d_t, cand, counts, near_bound = cyl_setup
+        t_max = jnp.full(o_t.shape[:2], 40.0, jnp.float32)
+        tr_x = pk.tri_blocks_transmittance(
+            accel.packed, o_t, d_t, t_max, cand, counts, 1e-4, prim="cyl"
+        )
+        rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
+        tr_p, _ = sweep_transmittance(
+            accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
+            prim="cyl",
+        )
+        np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_x),
+                                   atol=1e-6)
+
+    def test_render_uses_cyl_packet(self):
+        """End-to-end: a big cylinder field renders identically with the
+        packet path and the reference-semantics while walk."""
+        from scenes_fixtures import random_cylinder_field
+
+        scene = random_cylinder_field(300).build(bvh_threshold=64)
+        cfg_p = st.RenderConfig(width=32, height=32, max_bounces=2,
+                                traversal="packet", packet_tile_w=16,
+                                packet_tile_h=16)
+        cfg_w = st.RenderConfig(width=32, height=32, max_bounces=2,
+                                traversal="while")
+        from solr_tpu.ops.render import render_sample
+
+        img_p, _ = render_sample(scene, CAM, cfg_p)
+        img_w, _ = render_sample(scene, CAM, cfg_w)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_w),
+                                   atol=1e-6)
