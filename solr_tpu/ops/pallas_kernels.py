@@ -400,8 +400,21 @@ def _resolve_submask(submask, cand, sub_g):
     return submask.astype(jnp.int32)
 
 
+def _default_interpret(interpret):
+    """SOLR_PALLAS_INTERPRET=1 forces interpret mode so the FULL
+    traversal ladder (escalation fori_loop + nets) can run through the
+    Pallas kernels on CPU CI — hardware-free coverage of the exact
+    code path the TPU executes (the smoke test remains the hardware
+    gate)."""
+    if interpret is None:
+        import os
+
+        return bool(os.environ.get("SOLR_PALLAS_INTERPRET"))
+    return interpret
+
+
 def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
-                  interpret: bool = False, chunk: int = TILE_CHUNK,
+                  interpret=None, chunk: int = TILE_CHUNK,
                   prim: str = "tri", submask=None, sub_g: int = 1):
     """Closest hit over per-tile candidate blocks.
 
@@ -416,6 +429,7 @@ def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
     Returns (t (S, SB), prim idx (S, SB) with -1 = miss,
     visits (S,) candidate blocks intersected by >= 1 sub-bundle).
     """
+    interpret = _default_interpret(interpret)
     s_tiles = cand.shape[0]
     nearb = near_bound[:, : cand.shape[1]]
     submask = _resolve_submask(submask, cand, sub_g)
@@ -436,10 +450,11 @@ def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
 
 
 def sweep_transmittance(packed, rays_t, cand, counts, t_min,
-                        interpret: bool = False, chunk: int = TILE_CHUNK,
+                        interpret=None, chunk: int = TILE_CHUNK,
                         prim: str = "tri", submask=None, sub_g: int = 1):
     """Shadow transmittance over per-tile candidate blocks: (tr (S, SB)
     in [0, 1], visits (S,)).  Per-ray t_max rides in rays_t row 8."""
+    interpret = _default_interpret(interpret)
     s_tiles, k_max = cand.shape
     nearb = jnp.zeros((s_tiles, k_max), jnp.float32)
     submask = _resolve_submask(submask, cand, sub_g)

@@ -316,11 +316,15 @@ def _scene_closest_hit_raw(
 
 def _use_pallas() -> bool:
     """Pallas walker on TPU; SOLR_NO_PALLAS=1 forces the XLA block path
-    (bench.py's automatic degradation on kernel compile failure)."""
+    (bench.py's automatic degradation on kernel compile failure);
+    SOLR_PALLAS_INTERPRET=1 takes the Pallas path in interpret mode on
+    ANY backend (CPU CI coverage of the full kernel ladder)."""
     import os
 
     if os.environ.get("SOLR_NO_PALLAS"):
         return False
+    if os.environ.get("SOLR_PALLAS_INTERPRET"):
+        return True
     return jax.default_backend() == "tpu"
 
 

@@ -219,3 +219,42 @@ class TestTwoLevelCull:
             ).all(-1)  # (64, NSB)
             touched = inside.any(0)
             assert not (touched & ~mask).any(), "capsule cull dropped a hit"
+
+
+class TestFullLadderInterpret:
+    """The COMPLETE packet ladder (pass-1 sweep + fori escalation +
+    exactness nets) through the real Pallas kernels in interpret mode —
+    CPU coverage of exactly the code path the TPU executes (round-2
+    lesson: XLA-fallback-only CPU coverage let kernel-path bugs ship).
+    SOLR_PALLAS_INTERPRET routes traverse._use_pallas onto the kernels.
+    """
+
+    def _render(self, scene, cfg, interpret):
+        import os
+
+        from solr_tpu.ops.render import render_sample
+
+        old = os.environ.pop("SOLR_PALLAS_INTERPRET", None)
+        try:
+            if interpret:
+                os.environ["SOLR_PALLAS_INTERPRET"] = "1"
+            img, t = render_sample(scene, CAM, cfg)
+            return np.asarray(img), np.asarray(t)
+        finally:
+            os.environ.pop("SOLR_PALLAS_INTERPRET", None)
+            if old:
+                os.environ["SOLR_PALLAS_INTERPRET"] = old
+
+    def test_kernel_ladder_matches_xla_ladder(self, tri_scene):
+        cfg = st.RenderConfig(
+            width=32, height=32, max_bounces=2, traversal="packet",
+            packet_tile_w=16, packet_tile_h=16,
+            # Tiny caps force escalation passes AND the exactness net
+            # through the kernels.
+            packet_max_blocks=4, packet_max_super=4,
+            packet_escalate_blocks=8,
+        )
+        img_k, t_k = self._render(tri_scene, cfg, interpret=True)
+        img_x, t_x = self._render(tri_scene, cfg, interpret=False)
+        np.testing.assert_allclose(img_k, img_x, atol=1e-5)
+        np.testing.assert_allclose(t_k, t_x, rtol=1e-5)
