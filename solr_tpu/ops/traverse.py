@@ -380,11 +380,129 @@ def _scene_box(accel):
 
 
 def _net_capacity(r: int) -> int:
-    """Compacted exactness-net buffer size: covers the measured ~1%
-    need rate in one chunk, lane-aligned, never larger than the frame.
-    Kept tight because the brute-force walk costs cap x N_prims per
-    chunk (at 1M tris, 4096 rays ~ a few tens of ms)."""
-    return min(r, max(512, -(-r // 64 // 128) * 128))
+    """Compacted exactness-net chunk size, lane-aligned, capped at 2048
+    so the union-block net's per-ray (chunk x n_blocks) slab matrices
+    stay tens of MB (at 1M tris: 2048 x 3968 f32 = 32 MB per
+    component)."""
+    return min(r, max(512, min(2048, -(-r // 64 // 128) * 128)))
+
+
+# Union-net candidate width: the per-chunk union of blocks any needy
+# ray intersects; a chunk whose union overflows falls back to the full
+# pool brute (exactness is never conditional on this cap).
+_NET_UCAP = int(__import__("os").environ.get("SOLR_NET_UCAP", "512"))
+
+
+def _ray_block_slabs(o, d, block_bounds, t_min):
+    """Per-(ray, block) AABB slab test: (entry (R, B), hit (R, B)).
+
+    SoA component math (six (R, B) arrays) — the (R, B, 3) form
+    materializes 3x the memory for nothing.  Blocks are the accel's
+    [center, half-extent] rows; padding blocks (center ~ +BIG) never
+    hit.  ``entry`` is the clamped-to-0 slab entry distance: a valid
+    lower bound on any hit t inside the block.
+    """
+    big = 1.0e30
+    cx, cy, cz = (block_bounds[:, i][None, :] for i in range(3))
+    hx, hy, hz = (block_bounds[:, 3 + i][None, :] for i in range(3))
+
+    def axis(o_a, d_a, c_a, h_a):
+        safe = jnp.abs(d_a) > 1e-12
+        inv = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, d_a, 1.0)
+        lo = (c_a - h_a - o_a[:, None]) * inv[:, None]
+        hi = (c_a + h_a - o_a[:, None]) * inv[:, None]
+        t0 = jnp.minimum(lo, hi)
+        t1 = jnp.maximum(lo, hi)
+        inside = jnp.abs(o_a[:, None] - c_a) <= h_a
+        deg = ~safe[:, None]
+        t0 = jnp.where(deg, jnp.where(inside, -big, big), t0)
+        t1 = jnp.where(deg, jnp.where(inside, big, -big), t1)
+        return t0, t1
+
+    x0, x1 = axis(o[:, 0], d[:, 0], cx, hx)
+    y0, y1 = axis(o[:, 1], d[:, 1], cy, hy)
+    z0, z1 = axis(o[:, 2], d[:, 2], cz, hz)
+    t_enter = jnp.maximum(jnp.maximum(x0, y0), z0)
+    t_exit = jnp.minimum(jnp.minimum(x1, y1), z1)
+    hit = (t_exit >= t_enter) & (t_exit > t_min)
+    return jnp.maximum(t_enter, 0.0), hit
+
+
+def _union_candidates(hitm, n_blocks):
+    """Compact the chunk's union of hit blocks to a static-width
+    (1, U) candidate list: (cand, counts, overflow)."""
+    union = jnp.any(hitm, axis=0)  # (B,)
+    u_count = jnp.sum(union)
+    ucap = min(_NET_UCAP, n_blocks)
+    idx = jnp.nonzero(union, size=ucap, fill_value=n_blocks)[0]
+    valid = idx < n_blocks
+    cand = jnp.where(valid, idx, 0).astype(jnp.int32)[None]
+    counts = valid.sum(dtype=jnp.int32)[None]
+    return cand, counts, u_count > ucap
+
+
+def _block_net_closest(scene, accel, pool_code, prim, o_c, d_c, act,
+                       t_best, t_min):
+    """Exact closest hit for one compacted needy chunk, at block cost:
+    slab-test every ray against every block AABB (cheap), sweep ONLY
+    the union of intersected blocks (blocks partition the pool, so the
+    union contains every possible hit), and fall back to the full pool
+    brute only if the union overflows the static width.
+
+    Round-3/4 lesson: the pool brute at 1M tris costs ~160 GFLOP per
+    2048-ray chunk; the union sweep is ~20x less on the bench scenes,
+    and it is what turns the 'rare' net from a 38 s frame term into
+    milliseconds (BENCH_r04 attribution)."""
+    from solr_tpu.ops import packet as pk
+
+    entry, hitm = _ray_block_slabs(
+        jax.lax.stop_gradient(o_c), jax.lax.stop_gradient(d_c),
+        accel.block_bounds, t_min,
+    )
+    # Blocks entered beyond the ray's current best can't improve it.
+    hitm = hitm & act[:, None] & (entry <= t_best[:, None])
+    cand, counts, overflow = _union_candidates(
+        hitm, accel.packed.shape[0]
+    )
+
+    def union_sweep(_):
+        t2, i2 = pk.tri_blocks_closest(
+            accel.packed, o_c[None], d_c[None], cand, counts, t_min,
+            prim=prim,
+        )
+        return t2[0], i2[0]
+
+    def pool_brute(_):
+        return _pool_closest(o_c, d_c, scene, pool_code, t_min, t_best)
+
+    return jax.lax.cond(overflow, pool_brute, union_sweep, None)
+
+
+def _block_net_transmittance(scene, accel, pool_code, prim, o_c, d_c,
+                             tm_c, act, t_min):
+    """Exact shadow transmittance for one compacted needy chunk via the
+    union-block sweep (see :func:`_block_net_closest`); occluders live
+    only in blocks whose slab interval starts before the light."""
+    from solr_tpu.ops import packet as pk
+
+    entry, hitm = _ray_block_slabs(o_c, d_c, accel.block_bounds, t_min)
+    hitm = hitm & act[:, None] & (entry <= tm_c[:, None])
+    cand, counts, overflow = _union_candidates(
+        hitm, accel.packed.shape[0]
+    )
+
+    def union_sweep(_):
+        return pk.tri_blocks_transmittance(
+            accel.packed, o_c[None], d_c[None], tm_c[None], cand,
+            counts, t_min, prim=prim,
+        )[0]
+
+    def pool_brute(_):
+        return _pool_transmittance_brute(
+            scene, pool_code, o_c, d_c, tm_c, t_min
+        )
+
+    return jax.lax.cond(overflow, pool_brute, union_sweep, None)
 
 
 def _compacted_net(need, carry, walk_chunk):
@@ -630,16 +748,16 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
         bt_f, bi_f = bt.reshape(r), bi.reshape(r)
 
         def walk_chunk(idx, act, carry):
-            # Brute-force the compacted needy rays against the whole
-            # pool (chunked scan): O(needy x N) vectorized work with no
-            # serial tree depth.  The per-ray BVH walk is pathological
-            # for exactly these rays — horizon-grazing rays visit most
-            # of the tree, and the while_loop serializes every node
-            # (measured: ~2 s per walk at 512^2 vs ~10 ms brute).
+            # Union-block exact walk on the compacted needy rays (see
+            # _block_net_closest): slab every ray against every block
+            # AABB, sweep only the union — the pool brute this replaces
+            # WAS round 3/4's 38 s frame term, and remains only as the
+            # conditional union-overflow fallback.
             bt_c, bi_c = carry
             safe = jnp.minimum(idx, r - 1)
-            t2, i2 = _pool_closest(
-                o[safe], d[safe], scene, pool_code, t_min, bt_c[safe]
+            t2, i2 = _block_net_closest(
+                scene, accel, pool_code, prim, o[safe], d[safe], act,
+                bt_c[safe], t_min,
             )
             better = act & (t2 < bt_c[safe])
             new_t = jnp.where(better, t2, bt_c[safe])
@@ -889,14 +1007,16 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
         tm_full = jnp.broadcast_to(tm2, o2.shape[:-1])
 
         def walk_chunk(idx, act, carry):
-            # Brute-force, like the closest-hit net (see walk_chunk
-            # there): vectorized O(needy x N) beats the serial per-ray
-            # walk by orders of magnitude for grazing shadow bundles.
+            # Union-block exact walk (see _block_net_transmittance) —
+            # the shadow net was THE round-4 frame term: grazing tiles'
+            # capsule bundles span huge depth, so ~5% of shadow rays
+            # dropped candidates and the old pool brute ran seconds per
+            # bounce on both execution paths (BENCH_r04 attribution).
             (tr_c,) = carry
             safe = jnp.minimum(idx, r2 - 1)
-            tr_walk = _pool_transmittance_brute(
-                scene, pool_code, o2[safe], d2[safe], tm_full[safe],
-                t_min,
+            tr_walk = _block_net_transmittance(
+                scene, accel, pool_code, prim, o2[safe], d2[safe],
+                tm_full[safe], act, t_min,
             )
             new_tr = jnp.where(act, tr_walk, tr_c[safe])
             return (tr_c.at[idx].set(new_tr, mode="drop"),)
