@@ -119,6 +119,9 @@ def build_scene():
         # (tiles, 1536), one vectorized shot.
         packet_max_super=int(os.environ.get("SOLR_BENCH_M", 48)),
         packet_escalate_blocks=int(os.environ.get("SOLR_BENCH_K2", 96)),
+        # "auto" (packet), "while" (per-ray skip-pointer walk — round
+        # 1's 4.8 Mrays/s path), or "packet".
+        traversal=os.environ.get("SOLR_BENCH_TRAVERSAL", "auto"),
     )
     return scene, cam, cfg
 

@@ -163,8 +163,20 @@ def phong_shade(
             ) * lcol * shadow[..., None]
             return jnp.sum(contrib, axis=1)  # (R, 4)
 
-        direct = jax.vmap(one_sample)(lpos).mean(axis=0)
-        out = out + direct
+        # Python loop over shadow samples, NOT vmap: a vmapped
+        # lax.cond lowers to a select that executes BOTH branches, so
+        # under vmap every conditional in the shadow traversal ladder
+        # (escalation chunks, exactness-net chunks AND their pool-brute
+        # overflow fallbacks) ran unconditionally — measured as THE
+        # round-4 frame term: the full frame cost 50.6 s while the
+        # identical shadow ladder called outside vmap cost 73 ms
+        # (tools/profile_frame.py, BENCH_r04 attribution).  The sample
+        # count is a small static (1 hard, ~4-16 soft), so the loop
+        # costs compile time only.
+        direct = one_sample(lpos[0])
+        for i in range(1, lpos.shape[0]):
+            direct = direct + one_sample(lpos[i])
+        out = out + direct / lpos.shape[0]
 
     out = jnp.where(surf.valid[..., None], out, 0.0)
     return out.at[..., 3].set(1.0)

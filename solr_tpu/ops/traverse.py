@@ -441,6 +441,35 @@ def _union_candidates(hitm, n_blocks):
     return cand, counts, u_count > ucap
 
 
+_NET_WIN = 64  # candidate columns per conditionally-skipped net window
+
+
+def _windowed_sweep(sweep_fn, carry_init, cand, counts, fold):
+    """Run ``sweep_fn(cand_window, counts_window)`` over _NET_WIN-wide
+    candidate windows, each under ``lax.cond`` so windows beyond the
+    chunk's real union count cost nothing — a fixed-length scan over
+    the full static width burned ~10x the needed work on typical
+    unions (~50-150 blocks of the 512 cap).  ``fold(carry, out)``
+    merges a window's result."""
+    k_max = cand.shape[1]
+    n_win = -(-k_max // _NET_WIN)
+    pad = n_win * _NET_WIN - k_max
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)))
+
+    def body(w, carry):
+        lo = w * _NET_WIN
+
+        def run(carry):
+            cand_w = jax.lax.dynamic_slice_in_dim(cand, lo, _NET_WIN, 1)
+            cnt_w = jnp.clip(counts - lo, 0, _NET_WIN)
+            return fold(carry, sweep_fn(cand_w, cnt_w))
+
+        return jax.lax.cond(counts[0] > lo, run, lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, n_win, body, carry_init)
+
+
 def _block_net_closest(scene, accel, pool_code, prim, o_c, d_c, act,
                        t_best, t_min):
     """Exact closest hit for one compacted needy chunk, at block cost:
@@ -466,11 +495,24 @@ def _block_net_closest(scene, accel, pool_code, prim, o_c, d_c, act,
     )
 
     def union_sweep(_):
-        t2, i2 = pk.tri_blocks_closest(
-            accel.packed, o_c[None], d_c[None], cand, counts, t_min,
-            prim=prim,
+        def one_window(cand_w, cnt_w):
+            t2, i2 = pk.tri_blocks_closest(
+                accel.packed, o_c[None], d_c[None], cand_w, cnt_w,
+                t_min, prim=prim,
+            )
+            return t2[0], i2[0]
+
+        def fold(carry, out):
+            bt, bi = carry
+            t2, i2 = out
+            better = t2 < bt
+            return jnp.where(better, t2, bt), jnp.where(better, i2, bi)
+
+        init = (
+            jnp.full(o_c.shape[:1], T_FAR, o_c.dtype),
+            jnp.full(o_c.shape[:1], -1, jnp.int32),
         )
-        return t2[0], i2[0]
+        return _windowed_sweep(one_window, init, cand, counts, fold)
 
     def pool_brute(_):
         return _pool_closest(o_c, d_c, scene, pool_code, t_min, t_best)
@@ -492,10 +534,17 @@ def _block_net_transmittance(scene, accel, pool_code, prim, o_c, d_c,
     )
 
     def union_sweep(_):
-        return pk.tri_blocks_transmittance(
-            accel.packed, o_c[None], d_c[None], tm_c[None], cand,
-            counts, t_min, prim=prim,
-        )[0]
+        def one_window(cand_w, cnt_w):
+            return pk.tri_blocks_transmittance(
+                accel.packed, o_c[None], d_c[None], tm_c[None], cand_w,
+                cnt_w, t_min, prim=prim,
+            )[0]
+
+        def fold(tr, out):
+            return tr * out
+
+        init = jnp.ones(o_c.shape[:1], o_c.dtype)
+        return _windowed_sweep(one_window, init, cand, counts, fold)
 
     def pool_brute(_):
         return _pool_transmittance_brute(
@@ -505,17 +554,40 @@ def _block_net_transmittance(scene, accel, pool_code, prim, o_c, d_c,
     return jax.lax.cond(overflow, pool_brute, union_sweep, None)
 
 
-def _compacted_net(need, carry, walk_chunk):
+def _spatial_keys(p, bmin, bmax):
+    """Coarse Morton key of positions ``p`` (R, 3) within the scene box
+    (64 cells per axis).  Used to SORT needy net rays into spatially
+    tight chunks: the union-block net's per-chunk block union must stay
+    under its static width, and pixel-order chunks of SPARSE needy rays
+    span the whole frame (measured: every chunk overflowed into the
+    pool brute — the round-4 '50 s on both paths' term)."""
+    span = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip(((p - bmin) / span * 64.0).astype(jnp.int32), 0, 63)
+
+    def spread(x):  # interleave 6 bits -> every 3rd bit
+        x = (x | (x << 8)) & 0x0300F
+        x = (x | (x << 4)) & 0x030C3
+        x = (x | (x << 2)) & 0x09249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (
+        spread(q[:, 2]) << 2
+    )
+
+
+def _compacted_net(need, carry, walk_chunk, sort_key=None):
     """Run an exactness-net walk over ONLY the unproven rays.
 
     ``need`` (R,) bool selects rays; ``walk_chunk(idx, act, carry)``
     walks one cap-sized compacted chunk and scatters its results into
-    ``carry``.  Needy indices are gathered once (sorted), then processed
-    in fixed-size chunks under ``lax.cond`` so the per-call cost is
-    proportional to the actual needy count — a full-frame masked
-    while_loop walk measured ~300x a sweep frame and (at 512^2) ran
-    long enough to kill the TPU worker; this bounds every walk
-    invocation to cap rays while staying exact for ANY needy count."""
+    ``carry``.  Needy indices are gathered once, optionally SORTED by
+    ``sort_key`` (R,) so chunks are spatially coherent (see
+    :func:`_spatial_keys`), then processed in fixed-size chunks under
+    ``lax.cond`` so the per-call cost is proportional to the actual
+    needy count — a full-frame masked while_loop walk measured ~300x a
+    sweep frame and (at 512^2) ran long enough to kill the TPU worker;
+    this bounds every walk invocation to cap rays while staying exact
+    for ANY needy count."""
     r = need.shape[0]
     cap = _net_capacity(r)
     n_chunks = -(-r // cap)
@@ -523,6 +595,17 @@ def _compacted_net(need, carry, walk_chunk):
     # (a clamped final slice would re-walk rays — transmittance factors
     # must be applied exactly once).
     idx_all = jnp.nonzero(need, size=n_chunks * cap, fill_value=r)[0]
+    if sort_key is not None:
+        # Stable two-level order: (active-first, spatial key).  Padding
+        # (idx == r) keys to +inf so inactive slots stay at the tail
+        # and the leading chunks remain the only active ones.
+        key = jnp.where(
+            idx_all < r,
+            sort_key[jnp.minimum(idx_all, r - 1)].astype(jnp.float32),
+            jnp.inf,
+        )
+        order = jnp.argsort(key)
+        idx_all = idx_all[order]
 
     def chunk_body(c, carry):
         idx = jax.lax.dynamic_slice_in_dim(idx_all, c * cap, cap)
@@ -746,6 +829,11 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
             live & (jnp.minimum(bt, t_cap) > dropped[:, None])
         ).reshape(r)
         bt_f, bi_f = bt.reshape(r), bi.reshape(r)
+        # Spatial sort key: the ray segment's midpoint (bounded by the
+        # current best / scene-box exit) — needy chunks become
+        # spatially tight so their block unions fit the net's width.
+        t_mid = 0.5 * jnp.minimum(bt_f, t_cap.reshape(r))
+        net_key = _spatial_keys(o + d * t_mid[:, None], bmin, bmax)
 
         def walk_chunk(idx, act, carry):
             # Union-block exact walk on the compacted needy rays (see
@@ -767,7 +855,8 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
                 bi_c.at[idx].set(new_i, mode="drop"),
             )
 
-        return _compacted_net(need, (bt_f, bi_f), walk_chunk)
+        return _compacted_net(need, (bt_f, bi_f), walk_chunk,
+                              sort_key=net_key)
     return bt.reshape(r), bi.reshape(r)
 
 
@@ -1021,7 +1110,12 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
             new_tr = jnp.where(act, tr_walk, tr_c[safe])
             return (tr_c.at[idx].set(new_tr, mode="drop"),)
 
-        return _compacted_net(need, (tr,), walk_chunk)[0]
+        # Sort needy shadow rays by surface-point locality (see
+        # _spatial_keys) so chunk block-unions stay under the width.
+        bmin, bmax = _scene_box(accel)
+        net_key = _spatial_keys(o2, bmin, bmax)
+        return _compacted_net(need, (tr,), walk_chunk,
+                              sort_key=net_key)[0]
 
     do_net = exact and net_bvh is not None
     if o.ndim == 3 and o.shape[1] == 1:

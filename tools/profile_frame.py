@@ -85,12 +85,22 @@ def main():
             cfg.packet_max_blocks + cfg.packet_escalate_blocks,
         )[0]
 
-    results["cull"] = _time(jax.jit(cull), o_t, d_t)
+    def record(name, fn, *args):
+        # Print incrementally: on slow-compile days a later phase can
+        # outlive the harness timeout — earlier numbers must survive.
+        results[name] = _time(fn, *args)
+        print(json.dumps({
+            "phase": name,
+            "run_ms": round(results[name][1] * 1000, 1),
+            "compile_s": round(results[name][0], 1),
+        }), flush=True)
+
+    record("cull", jax.jit(cull), o_t, d_t)
 
     def closest(o_p, d_p):
         return _tri_packet_closest(scene, o_p, d_p, RAY_EPS, spec)[0]
 
-    results["closest"] = _time(jax.jit(closest), o_p, d_p)
+    record("closest", jax.jit(closest), o_p, d_p)
 
     lpos = scene.lights.position[0]
 
@@ -102,13 +112,13 @@ def main():
             scene, o_p, ldir, dist - RAY_EPS, RAY_EPS, spec
         )
 
-    results["shadow"] = _time(jax.jit(shadow), o_p, d_p)
+    record("shadow", jax.jit(shadow), o_p, d_p)
 
     def frame(scene, cam):
         img, _ = render_sample(scene, cam, cfg)
         return jnp.sum(img)
 
-    results["frame"] = _time(jax.jit(frame), scene, cam)
+    record("frame", jax.jit(frame), scene, cam)
 
     try:
         from solr_tpu.utils.profiling import cost_summary
