@@ -47,6 +47,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/solr_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+# Best measured sweep config at the headline scale (round-4 sweep:
+# BLOCK=512 at 992 ms/frame vs 1113 ms at BLOCK=256; PERF.md).  Must be
+# set before solr_tpu.ops.packet is first imported.
+os.environ.setdefault("SOLR_PACKET_BLOCK", "512")
+
 N_TRIS = int(os.environ.get("SOLR_BENCH_TRIS", 1_000_000))
 WIDTH = int(os.environ.get("SOLR_BENCH_WIDTH", 512))
 HEIGHT = int(os.environ.get("SOLR_BENCH_HEIGHT", 512))
@@ -112,13 +117,15 @@ def build_scene():
         gradient_background=True,
         packet_tile_w=int(os.environ.get("SOLR_BENCH_TILE_W", 16)),
         packet_tile_h=int(os.environ.get("SOLR_BENCH_TILE_H", 16)),
-        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 32)),
-        # M=48 supers: round 3 ran M=16 and the super-level drop alone
+        # K=24/K2=72/M=48 at BLOCK=512: the round-4 full-scale sweep's
+        # best net-rate/speed point (992 ms, net_ray_rate 2.4%).
+        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 24)),
+        # M supers: round 3 ran M=16 and the super-level drop alone
         # pushed 13.8% of rays into the brute-force net (VERDICT r03
         # weak #2/#3) — the L2 cull matrix at M=48 is still only
         # (tiles, 1536), one vectorized shot.
         packet_max_super=int(os.environ.get("SOLR_BENCH_M", 48)),
-        packet_escalate_blocks=int(os.environ.get("SOLR_BENCH_K2", 96)),
+        packet_escalate_blocks=int(os.environ.get("SOLR_BENCH_K2", 72)),
         # "auto" (packet), "while" (per-ray skip-pointer walk — round
         # 1's 4.8 Mrays/s path), or "packet".
         traversal=os.environ.get("SOLR_BENCH_TRAVERSAL", "auto"),
