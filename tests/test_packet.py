@@ -258,3 +258,24 @@ class TestFullLadderInterpret:
         img_x, t_x = self._render(tri_scene, cfg, interpret=False)
         np.testing.assert_allclose(img_k, img_x, atol=1e-5)
         np.testing.assert_allclose(t_k, t_x, rtol=1e-5)
+
+
+class TestUnionNetOverflow:
+    """The union-block net's overflow fallback (pool brute) must
+    preserve exactness: force it by shrinking the union width to 2."""
+
+    def test_tiny_ucap_still_exact(self, tri_scene, monkeypatch):
+        from solr_tpu.ops import traverse as tv
+
+        cfg_p = st.RenderConfig(
+            width=32, height=32, max_bounces=2, traversal="packet",
+            packet_tile_w=16, packet_tile_h=16,
+            packet_max_blocks=2, packet_max_super=2,
+            packet_escalate_blocks=2,  # tiny caps: nets engage hard
+        )
+        cfg_w = st.RenderConfig(width=32, height=32, max_bounces=2,
+                                traversal="while")
+        img_w, _ = _render(tri_scene, CAM, cfg_w)
+        monkeypatch.setattr(tv, "_NET_UCAP", 2)  # force overflow
+        img_p, _ = _render(tri_scene, CAM, cfg_p)
+        np.testing.assert_allclose(img_p, img_w, atol=1e-6)
