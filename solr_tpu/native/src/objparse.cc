@@ -4,7 +4,12 @@
 //
 // Two-pass ctypes interface (caller allocates from pass-1 counts):
 //   obj_count(path, out[4])            -> nv, nvt, nvn, ntris
-//   obj_parse(path, v, vt, vn, f_v, f_vt, f_vn, f_slot, names, cap)
+//   obj_parse(path, v, vt, vn, f_v, f_vt, f_vn, f_slot, names, cap,
+//             caps[4])
+// caps = the pass-1 counts the caller sized its buffers from; pass 2
+// fails with rc 3 the moment any write index would exceed them (a file
+// mutated between the passes must produce a clean error, not native
+// heap corruption — ADVICE r04 low #2).
 //
 // Semantics matched to solr_tpu.io.obj.load_obj:
 //   * faces fan-triangulate (n-gon -> n-2 tris);
@@ -128,9 +133,12 @@ extern "C" int obj_count(const char* path, long long out[4]) {
 
 extern "C" int obj_parse(const char* path, float* v, float* vt, float* vn,
                          int* f_v, int* f_vt, int* f_vn, int* f_slot,
-                         char* names, long long names_cap) {
+                         char* names, long long names_cap,
+                         const long long caps[4]) {
   Lines lines(path);
   if (!lines.ok()) return 1;
+  const long long cap_v = caps[0], cap_vt = caps[1], cap_vn = caps[2],
+                  cap_f = caps[3];
   long long nv = 0, nvt = 0, nvn = 0, nf = 0;
   int cur_slot = -1;  // no usemtl yet -> caller's default material
   std::vector<std::string> slots;   // distinct usemtl names, in order
@@ -143,6 +151,7 @@ extern "C" int obj_parse(const char* path, float* v, float* vt, float* vn,
     if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
       char* end;
       p += 2;
+      if (nv >= cap_v) return 3;
       v[nv * 3 + 0] = strtof(p, &end);
       v[nv * 3 + 1] = strtof(end, &end);
       v[nv * 3 + 2] = strtof(end, &end);
@@ -151,6 +160,7 @@ extern "C" int obj_parse(const char* path, float* v, float* vt, float* vn,
                (p[2] == ' ' || p[2] == '\t')) {
       char* end;
       p += 3;
+      if (nvt >= cap_vt) return 3;
       vt[nvt * 2 + 0] = strtof(p, &end);
       vt[nvt * 2 + 1] = strtof(end, &end);
       ++nvt;
@@ -158,6 +168,7 @@ extern "C" int obj_parse(const char* path, float* v, float* vt, float* vn,
                (p[2] == ' ' || p[2] == '\t')) {
       char* end;
       p += 3;
+      if (nvn >= cap_vn) return 3;
       vn[nvn * 3 + 0] = strtof(p, &end);
       vn[nvn * 3 + 1] = strtof(end, &end);
       vn[nvn * 3 + 2] = strtof(end, &end);
@@ -172,6 +183,7 @@ extern "C" int obj_parse(const char* path, float* v, float* vt, float* vn,
         p = skip_ws(skip_token(p));
       }
       for (size_t a = 1; a + 1 < refs.size(); ++a) {
+        if (nf >= cap_f) return 3;
         const Ref tri[3] = {refs[0], refs[a], refs[a + 1]};
         for (int k = 0; k < 3; ++k) {
           f_v[nf * 3 + k] = resolve(tri[k].v, nv);

@@ -20,18 +20,24 @@ one Pallas kernel):
      recomputed from the live vertices each frame (pure elementwise +
      128-segment reductions — O(N), no gathers, always fresh under
      geometry optimization);
-  4. a DENSE (tiles x blocks) cone-vs-block-sphere test culls the block
-     list in one fully-vectorized shot (at 1M tris there are only ~8k
+  4. a DENSE (tiles x blocks) cone-vs-block test culls the block list
+     in one fully-vectorized shot (at 1M tris there are only ~2k
      blocks — the whole "tree" fits in one vector op, which on a TPU
-     beats pointer-chasing by orders of magnitude);
-  5. `top_k` compacts each tile's candidate blocks to a static-width,
-     nearest-first list (cap = RenderConfig.packet_max_blocks);
-  6. each tile intersects only its candidate blocks — on TPU a Pallas
-     kernel whose BlockSpec index_map reads the scalar-prefetched
-     candidate ids, so ONLY the touched blocks are ever DMA'd from HBM
-     (no XLA-side pregather at all); on CPU an equivalent gather+sweep.
+     beats pointer-chasing by orders of magnitude); `top_k` keeps the
+     tile's Kt nearest survivors as a prefilter (a cost bound, not a
+     correctness cap — drops carry a per-ray exactness certificate);
+  5. every RAY slab-tests the tile's Kt candidate blocks; each 32-ray
+     STRIP compacts the union of its rays' hit intervals into its own
+     static-width front-to-back candidate list (strip_interval_select
+     — the round-5 redesign: measured mean 3.8 blocks/ray vs ~26
+     shared per-tile candidates in round 4, PERF.md);
+  6. each strip intersects only its own candidate list — on TPU a
+     Pallas kernel whose per-strip BlockSpec index_maps read the
+     scalar-prefetched candidate ids, so ONLY the touched blocks are
+     ever DMA'd from HBM (no XLA-side pregather at all); on CPU an
+     equivalent gather+sweep at strip granularity.
 
-Everything is static-shape and VPU/MXU-vectorized over the tile's rays;
+Everything is static-shape and VPU-vectorized over the strip's rays;
 per-ray divergence never appears.  Traversal output feeds
 scene_closest_hit's detached-select + analytic-recompute, so gradients
 are unaffected by the traversal strategy.
@@ -49,6 +55,7 @@ from solr_tpu.ops.vecmath import cross, dot, normalize
 
 __all__ = [
     "BLOCK",
+    "STRIP",
     "SUPER",
     "sphere_pack",
     "build_sph_accel",
@@ -57,15 +64,11 @@ __all__ = [
     "cyl_core",
     "make_bundles",
     "capsule_bundles",
-    "cull_leaves",
     "cull_blocks",
-    "cull_blocks_g",
     "cull_capsule",
-    "cull_capsule_g",
-    "candidate_leaves",
-    "subbundle_bits",
-    "subbundle_bits_capsule",
-    "two_level_select",
+    "slab_entries_g",
+    "strip_interval_select",
+    "strips_per_tile",
     "block_pack",
     "build_tri_accel",
     "tri_blocks_closest",
@@ -82,13 +85,29 @@ import os as _os
 
 BLOCK = int(_os.environ.get("SOLR_PACKET_BLOCK", "256"))
 
-# Blocks per super-block: the coarse level of the two-level cull.  The
-# L1 (bundle vs super-block) pass shrinks the dense cull matrix by this
-# factor; 32 keeps the super-block count ~N/8192, so at 1M tris the L1
-# matrix is (sub-bundles x ~128) — one vector op.
+# Blocks per super-block.  The super level no longer participates in
+# candidate selection (the round-5 strip-interval path culls the dense
+# block list directly — at 1M tris / BLOCK=512 that is a (tiles, 2048)
+# matrix, one vector op); it survives only as the accel's coarse bounds
+# used by the exactness-net's scene box and a few diagnostics.
 SUPER = int(_os.environ.get("SOLR_PACKET_SUPER", "32"))
 
+# Rays per strip: the granularity of the per-strip interval lists (two
+# pixel rows of a 16-wide tile).  A lane-register row (VPU sublane
+# granularity is 8; 32 keeps the (STRIP, BLOCK) Woop matrix a clean
+# vector shape while separating depth bands the round-4 strip CONES
+# could not (PERF.md: 16x2-px strips discriminate ~0.22deg of elevation
+# vs ~1.3deg block subtense — slab intervals separate the same strips
+# by DEPTH instead).
+STRIP = int(_os.environ.get("SOLR_PACKET_STRIP", "32"))
+
 _BIG = 1.0e30
+
+
+def strips_per_tile(tile_rays: int) -> int:
+    """Strips per tile: STRIP-ray groups when they divide evenly, else
+    one whole-tile strip (odd tile shapes in tests)."""
+    return tile_rays // STRIP if tile_rays % STRIP == 0 else 1
 
 
 def tile_permutation(width: int, height: int, tile_w: int, tile_h: int):
@@ -196,46 +215,6 @@ def capsule_bundles(o_t, d_t, tmax_t, live=None):
     return po, ro, pa, ra
 
 
-def cull_leaves(po, ro, axis, cos_g, centers, radii):
-    """(T, L) conservative bundle-vs-sphere visibility + distance.
-
-    Cone from po with axis/cos_g vs sphere (c, r + ro): hit iff the
-    center direction is within gamma + beta of the axis, where
-    sin(beta) = (r+ro)/dist; or the cone origin is inside the sphere.
-    Rays only travel forward, but the sphere test keeps behind-origin
-    spheres only when they still contain the origin — the angular test
-    rejects the rest (cos_sum formula is conservative for dist > rr).
-
-    Returns (mask (T, L), near (T, L)) where near is a lower bound on
-    the hit distance inside the sphere — used to keep the NEAREST
-    candidates when a tile overflows the cap.
-
-    SoA component math throughout: (T, L) full-lane shapes; the float3
-    form materialized 134 MB x ~12 intermediates at 131k spheres and
-    was memory-bound.
-    """
-    cx, cy, cz = centers[:, 0][None], centers[:, 1][None], centers[:, 2][None]
-    vx = cx - po[:, 0][:, None]  # (T, L)
-    vy = cy - po[:, 1][:, None]
-    vz = cz - po[:, 2][:, None]
-    d2 = vx * vx + vy * vy + vz * vz
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    rr = radii[None, :] + ro[:, None]
-    inside = dist <= rr
-    sin_b = jnp.clip(rr / dist, 0.0, 1.0)
-    cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
-    cos_t = (
-        vx * axis[:, 0][:, None]
-        + vy * axis[:, 1][:, None]
-        + vz * axis[:, 2][:, None]
-    ) / dist
-    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g * cos_g, 0.0))
-    cos_sum = cos_g[:, None] * cos_b - sin_g[:, None] * sin_b  # cos(g+b)
-    mask = inside | (cos_t >= cos_sum)
-    near = jnp.maximum(dist - rr, 0.0)
-    return mask, near
-
-
 def cull_blocks(po, ro, axis, cos_g, centers, half_extents):
     """(T, B) conservative bundle-vs-AABB visibility + distance.
 
@@ -272,15 +251,6 @@ def cull_blocks(po, ro, axis, cos_g, centers, half_extents):
         half_extents[:, 1][None],
         half_extents[:, 2][None],
     )
-    return _cone_core(po, ro, axis, cos_g, cx, cy, cz, hx, hy, hz)
-
-
-def cull_blocks_g(po, ro, axis, cos_g, bounds_g):
-    """Grouped variant of :func:`cull_blocks`: per-bundle candidate boxes
-    ``bounds_g`` (T, J, 8) rows [cx cy cz hx hy hz _ _] (the gathered
-    children of each bundle's surviving super-blocks)."""
-    cx, cy, cz = bounds_g[..., 0], bounds_g[..., 1], bounds_g[..., 2]
-    hx, hy, hz = bounds_g[..., 3], bounds_g[..., 4], bounds_g[..., 5]
     return _cone_core(po, ro, axis, cos_g, cx, cy, cz, hx, hy, hz)
 
 
@@ -351,13 +321,6 @@ def cull_capsule(po, ro, pa, ra, centers, half_extents):
     return _capsule_core(po, ro, pa, ra, cx, cy, cz, hx, hy, hz)
 
 
-def cull_capsule_g(po, ro, pa, ra, bounds_g):
-    """Grouped variant of :func:`cull_capsule` (bounds_g (T, J, 8))."""
-    cx, cy, cz = bounds_g[..., 0], bounds_g[..., 1], bounds_g[..., 2]
-    hx, hy, hz = bounds_g[..., 3], bounds_g[..., 4], bounds_g[..., 5]
-    return _capsule_core(po, ro, pa, ra, cx, cy, cz, hx, hy, hz)
-
-
 def _capsule_core(po, ro, pa, ra, cx, cy, cz, hx, hy, hz):
     ux = pa[:, 0] - po[:, 0]  # (T,)
     uy = pa[:, 1] - po[:, 1]
@@ -414,29 +377,143 @@ def ray_box_exit(o, d, bmin, bmax):
     return jnp.where(hit, t_exit, 0.0)
 
 
-def candidate_leaves(mask, max_cand: int, near=None):
-    """Compact each tile's True lanes to (T, max_cand) indices.
+def slab_entries_g(o_t, d_t, bounds_g, t_min):
+    """Per-(ray, candidate) AABB slab test against per-tile gathered
+    block bounds: (entry (S, SB, Kt), hit (S, SB, Kt)).
 
-    With ``near`` (lower-bound hit distance per (tile, sphere)), the
-    NEAREST candidates are kept, so an overflowing tile drops only its
-    farthest spheres — harmless for closest-hit whenever a nearer hit
-    exists, and the degradation is graceful rather than systematic.
-
-    Returns (idx, valid, overflow): overflow bool() — True when any
-    tile exceeded the cap (tests assert no overflow for exactness).
-    Valid entries are a sorted (nearest-first) prefix.
+    o_t/d_t (S, SB, 3); bounds_g (S, Kt, 8) rows [center, half-extent]
+    (padding blocks park at +BIG and never hit).  ``entry`` is the
+    clamped-to-0 slab entry distance — a valid lower bound on any hit t
+    inside the block, which is what makes the per-strip front-to-back
+    order and the drop certificate exact.  SoA per-axis math: six
+    (S, SB, Kt) broadcasts, no (.., 3) minor dim.
     """
-    counts = mask.sum(axis=-1)
-    max_cand = min(max_cand, mask.shape[-1])
-    if near is None:
-        score = mask.astype(jnp.float32)
+    big = _BIG
+
+    def axis(o_a, d_a, c_a, h_a):
+        # o_a/d_a (S, SB); c_a/h_a (S, Kt)
+        safe = jnp.abs(d_a) > 1e-12
+        inv = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, d_a, 1.0)
+        off = o_a[..., None]  # (S, SB, 1)
+        c_b = c_a[:, None, :]  # (S, 1, Kt)
+        h_b = h_a[:, None, :]
+        lo = (c_b - h_b - off) * inv[..., None]
+        hi = (c_b + h_b - off) * inv[..., None]
+        t0 = jnp.minimum(lo, hi)
+        t1 = jnp.maximum(lo, hi)
+        inside = jnp.abs(off - c_b) <= h_b
+        deg = ~safe[..., None]
+        t0 = jnp.where(deg, jnp.where(inside, -big, big), t0)
+        t1 = jnp.where(deg, jnp.where(inside, big, -big), t1)
+        return t0, t1
+
+    x0, x1 = axis(o_t[..., 0], d_t[..., 0], bounds_g[..., 0],
+                  bounds_g[..., 3])
+    y0, y1 = axis(o_t[..., 1], d_t[..., 1], bounds_g[..., 1],
+                  bounds_g[..., 4])
+    z0, z1 = axis(o_t[..., 2], d_t[..., 2], bounds_g[..., 2],
+                  bounds_g[..., 5])
+    t_enter = jnp.maximum(jnp.maximum(x0, y0), z0)
+    t_exit = jnp.minimum(jnp.minimum(x1, y1), z1)
+    hit = (t_exit >= t_enter) & (t_exit > t_min)
+    return jnp.maximum(t_enter, 0.0), hit
+
+
+def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
+                          t_min, tm_t=None):
+    """Per-strip front-to-back block-interval candidate lists — the
+    round-5 traversal selection (VERDICT r04 missing #1; PERF.md
+    round-5 datum: per-ray slab intervals touch mean 3.8 blocks vs ~26
+    shared per-tile candidates).
+
+    Two stages, both dense and cap-certified:
+      1. tile prefilter: conservative bundle cull (direction cone for
+         eye rays, origin->light capsule when ``tm_t`` is given) of the
+         FULL block list, then the Kt nearest survivors;
+      2. per-ray slab tests against those Kt blocks; each STRIP-ray
+         group keeps the union of its rays' hit blocks, sorted by
+         min-entry, cut at ks.
+
+    Any drop (tile prefilter overflow or strip list overflow) is
+    certified by ``dropped`` (S, G): a lower bound on the hit distance
+    inside ANY dropped block for rays of that strip (+FAR when nothing
+    was dropped).  The caller proves per-ray exactness with it and
+    union-net-walks the (measured-zero at K=64) remainder.
+
+    Args: o_t/d_t (S, SB, 3); live (S, SB) bool; accel a TriAccel;
+    kt/ks the prefilter and per-strip widths; tm_t (S, SB) per-ray
+    max distance (shadow segments) or None (closest hit).
+
+    Returns (cand (S, G, K) int32, counts (S, G) int32,
+    nearb (S, G, K) ascending entry bounds (+FAR past counts),
+    dropped (S, G)).
+    """
+    s_tiles, sb, _ = o_t.shape
+    g = strips_per_tile(sb)
+    bb = accel.block_bounds
+    nb = bb.shape[0]
+    big = jnp.asarray(_BIG, o_t.dtype)
+
+    if tm_t is None:
+        po, ro, axis, cos_g = make_bundles(o_t, d_t, live)
+        mask, near = cull_blocks(po, ro, axis, cos_g, bb[:, 0:3],
+                                 bb[:, 3:6])
+        # Cone `near` is a true ray-distance lower bound.
+        drop_dist = lambda v: v
     else:
-        big = jnp.asarray(1e30, near.dtype)
-        score = jnp.where(mask, -near, -big)  # nearest first
-    _, idx = jax.lax.top_k(score, max_cand)
-    valid = jnp.take_along_axis(mask, idx, axis=-1)
-    overflow = jnp.any(counts > max_cand)
-    return idx.astype(jnp.int32), valid, overflow
+        po, ro, pa, ra = capsule_bundles(o_t, d_t, tm_t, live)
+        mask, near = cull_capsule(po, ro, pa, ra, bb[:, 0:3], bb[:, 3:6])
+        # Capsule slack is NOT a distance along the ray: a prefilter
+        # drop is certified as "could start anywhere" (bound 0), which
+        # marks every live ray of the tile unproven — conservative, and
+        # unreachable at Kt=256 (max tile candidates measured 96).
+        drop_dist = lambda v: jnp.zeros_like(v)
+    mask = mask & jnp.any(live, axis=1)[:, None]
+
+    kt_eff = min(kt, nb)
+    score = jnp.where(mask, -near, -big)
+    topv, topi = jax.lax.top_k(score, min(kt_eff + 1, nb))
+    tile_cand = topi[:, :kt_eff]
+    tile_valid = topv[:, :kt_eff] > -big * 0.5
+    if nb > kt_eff:
+        tile_dropped = jnp.where(
+            topv[:, kt_eff] > -big * 0.5, drop_dist(-topv[:, kt_eff]),
+            T_FAR,
+        )
+    else:
+        tile_dropped = jnp.full((s_tiles,), T_FAR, o_t.dtype)
+
+    bbg = jnp.take(bb, tile_cand, axis=0)  # (S, Kt, 8)
+    entry, hitm = slab_entries_g(o_t, d_t, bbg, t_min)
+    hitm = hitm & tile_valid[:, None, :] & live[..., None]
+    if tm_t is not None:
+        # Occluders live only in blocks whose interval starts before
+        # the light.
+        hitm = hitm & (entry <= tm_t[..., None])
+
+    e_s = jnp.where(hitm, entry, big).reshape(
+        s_tiles, g, sb // g, kt_eff
+    ).min(axis=2)  # (S, G, Kt) per-strip min entry, +BIG when unused
+
+    ks_eff = min(ks, kt_eff)
+    v2, i2 = jax.lax.top_k(-e_s, min(ks_eff + 1, kt_eff))
+    sel = i2[..., :ks_eff]
+    valid2 = v2[..., :ks_eff] > -big * 0.5
+    cand = jnp.take_along_axis(
+        jnp.broadcast_to(tile_cand[:, None, :], (s_tiles, g, kt_eff)),
+        sel, axis=-1,
+    )
+    cand = jnp.where(valid2, cand, 0).astype(jnp.int32)
+    counts = valid2.sum(axis=-1).astype(jnp.int32)
+    nearb = jnp.where(valid2, -v2[..., :ks_eff], T_FAR)
+    if kt_eff > ks_eff:
+        strip_dropped = jnp.where(
+            v2[..., ks_eff] > -big * 0.5, -v2[..., ks_eff], T_FAR
+        )
+    else:
+        strip_dropped = jnp.full((s_tiles, g), T_FAR, o_t.dtype)
+    dropped = jnp.minimum(strip_dropped, tile_dropped[:, None])
+    return cand, counts, nearb, dropped
 
 
 # --------------------------------------------------------------------------
@@ -687,139 +764,10 @@ def build_tri_accel(triangles, materials):
     )
     packed, centers, half = block_pack(triangles, factor)
     # _group_blocks pads the block count to a multiple of both SUPER
-    # (two-level cull) and 128 (lane alignment); padding blocks park at
+    # (coarse bounds) and 128 (lane alignment); padding blocks park at
     # +BIG so every cull rejects them, and their packed slabs are zero
     # (never hit).
     return _group_blocks(packed, centers, half)
-
-
-def two_level_select(mask1, near1, block_bounds, cull_child, max_super: int,
-                     max_blocks: int):
-    """Two-level candidate selection: pick the nearest surviving
-    super-blocks, cull their child blocks, keep the nearest child blocks.
-
-    Args:
-      mask1/near1: (S, NSB) L1 bundle-vs-super-block cull output.
-      block_bounds: (Bp, 8) per-block [center, half-extent] rows, Bp a
-        multiple of SUPER, padding blocks parked at +BIG.
-      cull_child: fn (S, J, 8) gathered child bounds -> (mask, near).
-      max_super/max_blocks: per-bundle caps M and K.
-
-    Returns (cand (S,K) int32 block ids nearest-first, counts (S,),
-    near_sorted (S,K), near_bound (S,K+1) with a +FAR sentinel column,
-    dropped_near (S,), dropped_super (S,)).  ``dropped_near`` is a true
-    lower bound on the hit distance inside ANY candidate dropped by
-    either cap — +FAR when nothing was dropped — which the caller uses
-    to prove the selection exact per ray (see traverse.
-    _tri_packet_closest's fallback net).  ``dropped_super`` isolates the
-    SUPER-level component: drops that cap escalation over more child
-    candidates cannot recover.
-    """
-    s_tiles, nsb = mask1.shape
-    m = min(max_super, nsb)
-    big = jnp.asarray(_BIG, near1.dtype)
-    score1 = jnp.where(mask1, -near1, -big)
-    top1_v, top1_i = jax.lax.top_k(score1, min(m + 1, nsb))
-    sel = top1_i[:, :m]  # (S, M)
-    sel_valid = top1_v[:, :m] > -big * 0.5
-    if nsb > m:
-        dropped1 = jnp.where(
-            top1_v[:, m] > -big * 0.5, -top1_v[:, m], T_FAR
-        )
-    else:
-        dropped1 = jnp.full((s_tiles,), T_FAR, near1.dtype)
-
-    child = (
-        sel[:, :, None] * SUPER
-        + jnp.arange(SUPER, dtype=sel.dtype)[None, None, :]
-    ).reshape(s_tiles, m * SUPER)  # (S, J)
-    bbg = jnp.take(block_bounds, child, axis=0)  # (S, J, 8) clip-mode
-    mask2, near2 = cull_child(bbg)
-    mask2 = mask2 & jnp.repeat(sel_valid, SUPER, axis=1)
-
-    j = child.shape[1]
-    k = min(max_blocks, j)
-    score2 = jnp.where(mask2, -near2, -big)
-    top2_v, top2_i = jax.lax.top_k(score2, min(k + 1, j))
-    cand = jnp.take_along_axis(child, top2_i[:, :k], axis=1).astype(jnp.int32)
-    valid = top2_v[:, :k] > -big * 0.5
-    counts = valid.sum(axis=-1).astype(jnp.int32)
-    near_sorted = jnp.where(valid, -top2_v[:, :k], T_FAR)
-    if j > k:
-        dropped2 = jnp.where(
-            top2_v[:, k] > -big * 0.5, -top2_v[:, k], T_FAR
-        )
-    else:
-        dropped2 = jnp.full((s_tiles,), T_FAR, near1.dtype)
-    dropped_near = jnp.minimum(dropped1, dropped2)
-    near_bound = jnp.concatenate(
-        [near_sorted, jnp.full((s_tiles, 1), T_FAR, near1.dtype)], axis=1
-    )
-    return cand, counts, near_sorted, near_bound, dropped_near, dropped1
-
-
-def _sub_shapes(o_t, sub_g: int):
-    s, sb, _ = o_t.shape
-    assert sb % sub_g == 0
-    return s, sb // sub_g
-
-
-def subbundle_bits(o_t, d_t, live, cand, block_bounds, sub_g: int):
-    """Per-(tile, candidate) sub-bundle need bits for the closest-hit
-    sweep: bit j of ``bits[s, k]`` is set iff some ray of tile s's j-th
-    sub-bundle may hit candidate block ``cand[s, k]``.
-
-    Each tile's SB rays split into ``sub_g`` contiguous sub-bundles
-    (for the row-major tile swizzle: thin pixel-row strips, which are
-    depth-stratified on typical ground-plane scenes — the property the
-    kernel's per-sub-bundle early-out exploits).  Each sub-bundle gets
-    its own cone bundle and runs the SAME conservative support-function
-    cull as the tile (cull_blocks_g), so clearing a bit can never drop
-    a real hit — the Pallas sweep's result is bit-identical with or
-    without the mask.
-
-    o_t/d_t (S, SB, 3); live (S, SB) bool; cand (S, K) block ids;
-    block_bounds (Bp, 8).  Returns (S, K) int32.
-    """
-    s, ssb = _sub_shapes(o_t, sub_g)
-    o_s = o_t.reshape(s * sub_g, ssb, 3)
-    d_s = d_t.reshape(s * sub_g, ssb, 3)
-    live_s = live.reshape(s * sub_g, ssb)
-    po, ro, axis, cos_g = make_bundles(o_s, d_s, live_s)
-    bbg = jnp.take(block_bounds, cand, axis=0)  # (S, K, 8)
-    k = cand.shape[1]
-    bbg = jnp.broadcast_to(
-        bbg[:, None], (s, sub_g, k, 8)
-    ).reshape(s * sub_g, k, 8)
-    mask, _near = cull_blocks_g(po, ro, axis, cos_g, bbg)  # (S*G, K)
-    mask = mask & jnp.any(live_s, axis=1)[:, None]
-    weights = (1 << jnp.arange(sub_g, dtype=jnp.int32))[None, :, None]
-    return jnp.sum(
-        mask.reshape(s, sub_g, k).astype(jnp.int32) * weights, axis=1
-    )
-
-
-def subbundle_bits_capsule(o_t, d_t, tm_t, live, cand, block_bounds,
-                           sub_g: int):
-    """Capsule (shadow-segment) variant of :func:`subbundle_bits`:
-    per-sub-bundle segment bundles vs the tile's candidate blocks."""
-    s, ssb = _sub_shapes(o_t, sub_g)
-    o_s = o_t.reshape(s * sub_g, ssb, 3)
-    d_s = d_t.reshape(s * sub_g, ssb, 3)
-    tm_s = tm_t.reshape(s * sub_g, ssb)
-    live_s = live.reshape(s * sub_g, ssb)
-    po, ro, pa, ra = capsule_bundles(o_s, d_s, tm_s, live_s)
-    bbg = jnp.take(block_bounds, cand, axis=0)
-    k = cand.shape[1]
-    bbg = jnp.broadcast_to(
-        bbg[:, None], (s, sub_g, k, 8)
-    ).reshape(s * sub_g, k, 8)
-    mask, _near = cull_capsule_g(po, ro, pa, ra, bbg)
-    mask = mask & jnp.any(live_s, axis=1)[:, None]
-    weights = (1 << jnp.arange(sub_g, dtype=jnp.int32))[None, :, None]
-    return jnp.sum(
-        mask.reshape(s, sub_g, k).astype(jnp.int32) * weights, axis=1
-    )
 
 
 def _woop_t(o_t, d_t, w, t_min):

@@ -1,53 +1,48 @@
-"""Pallas TPU kernels: grid-pipelined candidate-block sweep.
+"""Pallas TPU kernels: per-strip interval sweep over candidate blocks.
 
-Round-3/4 redesign of the traversal hot path (reference lineage:
+Round-5 redesign of the traversal hot path (reference lineage:
 GeometryIntersections.cuh: intersectionWithPrimitives — the per-thread
 skip-index walk).  Hardware findings that shaped this design (all
-measured on the v5e this repo benches on; see DEBUGGING.md):
+measured on the v5e this repo benches on; see DEBUGGING.md + PERF.md):
 
   * In-kernel `lax.while_loop` / data-dependent `fori_loop` bodies and
     manual `make_async_copy` with vector-derived indices make Mosaic
-    compiles take 100-300+ s with huge variance — the round-2 driver
-    failure ("HTTP 500: tpu_compile_helper") was the remote compile
-    service giving up.  Grid-pipelined kernels with the SAME dataflow
-    compile in seconds.  So: NO in-kernel loops, NO manual DMA — the
-    Pallas grid pipeline does all block movement.
-  * Scalar-prefetch operands live in SMEM (~1 MB).  At 1024 tiles the
-    round-2 prefetch arrays overflowed it ("Ran out of memory in
-    memory space smem") — THE round-2 compile failure at bench scale.
-    Tiles are therefore swept in chunks of <= 256 per pallas_call
-    (lax.map over chunks; the kernel compiles once).
-  * A block whose minor dim is 16 — the round-2 (1, SB, 16) ray layout
-    — hits a pathological Mosaic relayout: ~400 us PER GRID STEP
-    (the round-2 409x slowdown).  Rays ride transposed as (1, 16, SB)
-    lanes-major and are transposed back once per tile in-kernel.
+    compiles take 100-300+ s with huge variance.  Grid-pipelined
+    kernels with the SAME dataflow compile in seconds.  So: NO
+    in-kernel loops, NO manual DMA — the Pallas grid pipeline does all
+    block movement.
+  * Scalar-prefetch operands live in SMEM (~1 MB).  Tiles are swept in
+    chunks per pallas_call (lax.map over chunks; the kernel compiles
+    once) sized so the per-strip candidate tables fit.
+  * A block whose minor dim is 16 hits a pathological Mosaic relayout
+    (~400 us PER GRID STEP — the round-2 409x slowdown).  Rays ride
+    transposed as (1, 16, SB) lanes-major and are transposed back once
+    per tile into VMEM scratch.
 
-Sweep structure: grid (tiles, K).  Step (s, k) receives the tile's
-rays (resident across k) and its k-th nearest candidate block's packed
-Woop slab, DMA'd by the pipeline via an index_map that reads the
-scalar-prefetched candidate ids — only touched blocks ever leave HBM,
-double-buffered for free.  Exhausted tiles clamp to their last
-candidate (consecutive equal indices -> the pipeline skips the copy).
-Front-to-back early-out: each step first tests the candidate's
-distance lower bound against every live ray's current best and skips
-the intersection entirely once the tile is provably done.
+Round-5 structure — THE change from rounds 3/4 (VERDICT r04 missing
+#1): candidates are per-STRIP, not per-tile.  Each tile's SB rays split
+into G = SB/32 strips; each strip owns a front-to-back list of block
+ids built from PER-RAY slab-interval tests (solr_tpu.ops.packet.
+strip_interval_select) — measured mean 3.8 blocks/ray vs ~26 shared
+per-tile candidates in round 4 (PERF.md round-5 datum).  The grid stays
+(tiles, K): step (s, k) DMAs G candidate slabs (one per strip, each
+stream's index_map reading that strip's k-th id) and intersects only
+the strips whose list is still live.  A per-strip "done" scalar in SMEM
+scratch (max over the strip's live rays of min(best_t, box_exit))
+implements the front-to-back early-out with O(1) per-step predicate
+cost; it is recomputed only when the strip actually runs.  Exhausted
+strips clamp their index to the last candidate, so the pipeline skips
+the re-copy.
 
-Round-4 addition — SUB-BUNDLE MASKING (the round-3 compute killer:
-every ray in a 256-ray tile paid for every candidate block the TILE
-needed, ~22 x 256 Woop tests per ray on the grazing-terrain bench).
-Each tile is split into ``sub_g`` contiguous sub-bundles (for a 16x16
-pixel tile with sub_g=8: 2-pixel-row strips — depth-stratified on a
-terrain view).  A per-(tile, candidate) bitmask, scalar-prefetched from
-a per-sub-bundle XLA cull (solr_tpu.ops.packet.subbundle_bits), gates
-each sub-bundle's intersection with `pl.when`, and each sub-bundle
-keeps its OWN front-to-back cutoff — near strips finish after 2-3
-blocks while far strips keep sweeping.  Grid size is unchanged (the
-DMA stays per-tile); only the dominant VPU compute shrinks.  The cull
-is conservative, so results are bit-identical to the unmasked sweep.
+This replaces round 3/4's cap-escalation ladder and cone-based
+sub-bundle bitmask entirely: the per-strip lists are exact-conservative
+(a slab interval is a superset of any hit interval), so the only
+remaining unproven case is a strip or tile whose list overflowed the
+static caps — certified per ray and handled by the union net in
+solr_tpu.ops.traverse (rate 0 at bench scale with K=64).
 
 Correctness is pinned by tests against the XLA block path (interpret
-mode + on-TPU smoke test) and the exactness net in
-solr_tpu.ops.traverse handles capped-out tiles.
+mode + on-TPU smoke test).
 """
 
 from __future__ import annotations
@@ -65,14 +60,23 @@ __all__ = [
     "make_rays16t",
     "sweep_closest",
     "sweep_transmittance",
-    "TILE_CHUNK",
+    "tile_chunk",
 ]
 
 _BIG_I = 2**31 - 1  # python int: jnp scalars would be captured consts
 
-# Tiles per pallas_call: bounds the scalar-prefetch SMEM footprint
-# (chunk * (3K + 2) * 4 bytes; 256 * 98 * 4 = 100 KB at K=32).
-TILE_CHUNK = 256
+# Scalar-prefetch SMEM budget per pallas_call (bytes).  The per-strip
+# candidate tables cost chunk * G * (2K + 1) * 4 bytes; tile_chunk()
+# sizes the lax.map chunk so they fit with headroom under the ~1 MB
+# SMEM.
+_SMEM_BUDGET = 512 * 1024
+
+
+def tile_chunk(g: int, k: int) -> int:
+    """Tiles per pallas_call for a (G strips, K candidates) sweep."""
+    per_tile = g * (2 * k + 1) * 4 + 8
+    c = max(8, _SMEM_BUDGET // per_tile)
+    return min(256, 1 << (c.bit_length() - 1))  # pow2: clean padding
 
 
 def make_rays16t(o_t, d_t, tmax_t=None, live_t=None):
@@ -98,16 +102,16 @@ def make_rays16t(o_t, d_t, tmax_t=None, live_t=None):
 
 
 def _woop_rows(rays, w, t_min):
-    """VPU-broadcast Woop intersection: rays (SB, 16) x packed block
-    rows w (16, BLOCK) -> t (SB, BLOCK).
+    """VPU-broadcast Woop intersection: rays (SSB, 16) x packed block
+    rows w (16, BLOCK) -> t (SSB, BLOCK).
 
     Row slices of ``w`` are (1, BLOCK) lane rows; ray components are
-    (SB, 1) sublane columns — every product is a full-lane broadcast
+    (SSB, 1) sublane columns — every product is a full-lane broadcast
     op.  Degenerate (padding) triangles have all-zero rows -> d'z == 0
     -> never hit.
     """
     r = lambda i: w[i : i + 1, :]  # (1, BLOCK)
-    c = lambda i: rays[:, i : i + 1]  # (SB, 1)
+    c = lambda i: rays[:, i : i + 1]  # (SSB, 1)
     ox, oy, oz = c(0), c(1), c(2)
     dx, dy, dz = c(4), c(5), c(6)
     opx = ox * r(0) + oy * r(1) + oz * r(2) + r(3)
@@ -126,14 +130,14 @@ def _woop_rows(rays, w, t_min):
 
 
 def _sphere_rows(rays, w, t_min):
-    """Ray-sphere block test: rays (SB, 16) x sphere block rows
-    [cx cy cz r] (16, BLOCK) -> t (SB, BLOCK).  Nearest root > t_min
+    """Ray-sphere block test: rays (SSB, 16) x sphere block rows
+    [cx cy cz r] (16, BLOCK) -> t (SSB, BLOCK).  Nearest root > t_min
     (exit root for inside starts — refraction needs it), matching
     solr_tpu.ops.intersect.sphere_t_p; padding spheres (r <= 0) never
     hit.  The sphere-pool sweep is what makes 100k-atom PDB molecule
     scenes tractable (VERDICT r02 missing #6)."""
     r = lambda i: w[i : i + 1, :]  # (1, BLOCK)
-    c = lambda i: rays[:, i : i + 1]  # (SB, 1)
+    c = lambda i: rays[:, i : i + 1]  # (SSB, 1)
     ocx = c(0) - r(0)
     ocy = c(1) - r(1)
     ocz = c(2) - r(2)
@@ -148,15 +152,15 @@ def _sphere_rows(rays, w, t_min):
 
 
 def _cyl_rows(rays, w, t_min):
-    """Ray-cylinder block test: rays (SB, 16) x cylinder block rows
-    (16, BLOCK) -> t (SB, BLOCK); rows per solr_tpu.ops.packet.
+    """Ray-cylinder block test: rays (SSB, 16) x cylinder block rows
+    (16, BLOCK) -> t (SSB, BLOCK); rows per solr_tpu.ops.packet.
     cylinder_pack, math shared with the XLA form via packet.cyl_core
     (capped cylinder matching intersect.cylinder_t_p).  Makes PDB
     sticks / SWC neurite pools sweepable."""
     from solr_tpu.ops.packet import cyl_core
 
     r = lambda i: w[i : i + 1, :]  # (1, BLOCK)
-    c = lambda i: rays[:, i : i + 1]  # (SB, 1)
+    c = lambda i: rays[:, i : i + 1]  # (SSB, 1)
     return cyl_core(c, r, t_min)
 
 
@@ -164,19 +168,19 @@ _PRIM_ROWS = {"tri": _woop_rows, "sphere": _sphere_rows,
               "cyl": _cyl_rows}
 
 
-def _closest_kernel(
-    counts_ref, cand_ref, nearb_ref, sub_ref,  # prefetch: (S,), (S,K), (S,K), (S,K)
-    rays_ref,  # (1, 16, SB) transposed rays
-    slab_ref,  # (1, 16, BLOCK): candidate k's packed block
-    bt_ref, bi_ref,  # (1, SB, 1) outputs, resident across k
-    nv_ref,  # (1, 1, 1) visit counter
-    rsc_ref,  # (SB, 16) VMEM scratch: rays transposed ONCE per tile
-    *, block, t_min, prim, sub_g,
-):
+def _closest_kernel(*refs, block, t_min, prim, g):
+    (counts_ref, cand_ref, nearb_ref) = refs[0:3]  # (C,G), (C,G,K) x2
+    rays_ref = refs[3]  # (1, 16, SB) transposed rays
+    slab_refs = refs[4 : 4 + g]  # G x (1, 16, BLOCK) per-strip streams
+    bt_ref, bi_ref = refs[4 + g : 6 + g]  # (1, SB, 1), resident across k
+    nv_ref = refs[6 + g]  # (1, 1, 1) strip-visit counter
+    rsc_ref = refs[7 + g]  # (SB, 16) VMEM scratch: rays transposed once
+    done_ref = refs[8 + g]  # (G,) SMEM scratch: per-strip early-out bound
+
     s = pl.program_id(0)
     k = pl.program_id(1)
     sb = rays_ref.shape[2]
-    ssb = sb // sub_g
+    ssb = sb // g
 
     @pl.when(k == 0)
     def _():
@@ -188,172 +192,135 @@ def _closest_kernel(
         # (tools/probe_sweep.py, round 4) — rays are resident across k,
         # so the scratch pays it once per K candidates.
         rsc_ref[...] = rays_ref[0].T
+        # Per-strip early-out bound: max over the strip's LIVE rays of
+        # min(best_t, box_exit).  best_t starts at T_FAR, so the init
+        # is the live-masked box exit (lane 8); a fully-parked strip
+        # gets 0 and never runs.
+        rays0 = rays_ref[0]  # (16, SB)
+        bound0 = jnp.where(rays0[9:10, :] > 0.0, rays0[8:9, :], 0.0)
+        for j in range(g):
+            done_ref[j] = jnp.max(bound0[:, j * ssb : (j + 1) * ssb])
 
-    rays = rsc_ref[...]  # (SB, 16)
-    live = rays[:, 9:10] > 0.0  # (SB, 1)
-    bt = bt_ref[0]
-    # Front-to-back early-out, PER SUB-BUNDLE: a sub-bundle skips once
-    # every live ray in it is provably complete — its best hit (or its
-    # scene-box exit, lane 8: a miss ray can't hit anything past the
-    # box, so sky rays don't stall the strip at T_FAR) is closer than
-    # this candidate's lower bound.
-    t_cap = rays[:, 8:9]
-    done_t = jnp.where(live, jnp.minimum(bt, t_cap), 0.0)  # (SB, 1)
-    in_count = k < counts_ref[s]
-    near_k = nearb_ref[s, k]
-    w = slab_ref[0]  # (16, BLOCK)
-    pid = cand_ref[s, k] * block + jax.lax.broadcasted_iota(
-        jnp.int32, (1, block), 1
-    )
+    # Strip j runs while its own front-to-back list has candidates left
+    # AND the next candidate's entry bound is closer than some live
+    # ray's completion bound.  Entries are sorted ascending, and the
+    # bound only decreases, so the first skip is permanent — exactly a
+    # per-strip front-to-back early-out, at scalar predicate cost.
+    for j in range(g):
+        run_j = (k < counts_ref[s, j]) & (
+            nearb_ref[s, j, k] < done_ref[j]
+        )
 
-    if sub_g == 1:
-        # Whole-tile body (the round-3 kernel, known-good on hardware).
-        run = in_count & (near_k < jnp.max(done_t))
-
-        @pl.when(run)
-        def _():
-            t = _PRIM_ROWS[prim](rays, w, t_min)  # (SB, BLOCK)
-            c_min = jnp.min(t, axis=1, keepdims=True)  # (SB, 1)
-            c_idx = jnp.min(
-                jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
-            )
-            better = c_min < bt
-            bt_ref[0] = jnp.where(better, c_min, bt)
-            bi_ref[0] = jnp.where(better, c_idx, bi_ref[0])
-            nv_ref[0] = nv_ref[0] + 1
-        return
-
-    bits = sub_ref[s, k]
-    runs = []
-    for j in range(sub_g):
-        cutoff_j = jnp.max(done_t[j * ssb : (j + 1) * ssb])
-        bit_j = ((bits >> j) & 1) > 0
-        runs.append(in_count & bit_j & (near_k < cutoff_j))
-    any_run = functools.reduce(jnp.logical_or, runs)
-
-    @pl.when(any_run)
-    def _():
-        nv_ref[0] = nv_ref[0] + 1
-
-    for j in range(sub_g):
-        @pl.when(runs[j])
+        @pl.when(run_j)
         def _(j=j):
-            rj = rays[j * ssb : (j + 1) * ssb]  # (ssb, 16)
+            rj = rsc_ref[j * ssb : (j + 1) * ssb, :]  # (ssb, 16)
+            w = slab_refs[j][0]  # (16, BLOCK)
             t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
             c_min = jnp.min(t, axis=1, keepdims=True)  # (ssb, 1)
+            pid = cand_ref[s, j, k] * block + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block), 1
+            )
             c_idx = jnp.min(
                 jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
             )
-            btj = bt[j * ssb : (j + 1) * ssb]
+            btj = bt_ref[0, j * ssb : (j + 1) * ssb]
             better = c_min < btj
-            bt_ref[0, j * ssb : (j + 1) * ssb] = jnp.where(
-                better, c_min, btj
-            )
+            new_bt = jnp.where(better, c_min, btj)
+            bt_ref[0, j * ssb : (j + 1) * ssb] = new_bt
             bi_ref[0, j * ssb : (j + 1) * ssb] = jnp.where(
                 better, c_idx, bi_ref[0, j * ssb : (j + 1) * ssb]
             )
+            live_j = rj[:, 9:10] > 0.0
+            cap_j = rj[:, 8:9]
+            done_ref[j] = jnp.max(
+                jnp.where(live_j, jnp.minimum(new_bt, cap_j), 0.0)
+            )
+            nv_ref[0] = nv_ref[0] + 1
 
 
-def _trans_kernel(
-    counts_ref, cand_ref, nearb_ref, sub_ref,
-    rays_ref,  # (1, 16, SB); row 8 = per-ray t_max, row 9 = live
-    slab_ref,  # (1, 16, BLOCK); row 15 = per-prim shadow factor
-    tr_ref,  # (1, SB, 1) transmittance, resident across k
-    nv_ref,  # (1, 1, 1)
-    rsc_ref,  # (SB, 16) VMEM scratch: rays transposed once per tile
-    *, block, t_min, prim, sub_g,
-):
+def _trans_kernel(*refs, block, t_min, prim, g):
+    (counts_ref, cand_ref, nearb_ref) = refs[0:3]
+    rays_ref = refs[3]  # (1, 16, SB); row 8 = per-ray t_max, row 9 = live
+    slab_refs = refs[4 : 4 + g]  # row 15 of each slab = shadow factor
+    tr_ref = refs[4 + g]  # (1, SB, 1) transmittance, resident across k
+    nv_ref = refs[5 + g]
+    rsc_ref = refs[6 + g]
+    lit_ref = refs[7 + g]  # (G,) SMEM: max live transmittance per strip
+
     s = pl.program_id(0)
     k = pl.program_id(1)
     sb = rays_ref.shape[2]
-    ssb = sb // sub_g
+    ssb = sb // g
 
     @pl.when(k == 0)
     def _():
         tr_ref[0] = jnp.ones((sb, 1), jnp.float32)
         nv_ref[0] = jnp.zeros((1, 1), jnp.int32)
-        rsc_ref[...] = rays_ref[0].T  # once per tile (see _closest_kernel)
+        rsc_ref[...] = rays_ref[0].T
+        live0 = (rays_ref[0][9:10, :] > 0.0).astype(jnp.float32)
+        for j in range(g):
+            lit_ref[j] = jnp.max(live0[:, j * ssb : (j + 1) * ssb])
 
-    rays = rsc_ref[...]  # (SB, 16)
-    live = rays[:, 9:10] > 0.0
-    tr = tr_ref[0]
-    # Occlusion has no distance order: visit every masked-in candidate,
-    # but each sub-bundle stops once all its live rays are extinguished.
-    lit = jnp.where(live, tr, 0.0)  # (SB, 1)
-    in_count = k < counts_ref[s]
-    w = slab_ref[0]
+    # Occlusion has no distance order: a strip visits every candidate
+    # on its list, but stops once all its live rays are extinguished.
+    for j in range(g):
+        run_j = (k < counts_ref[s, j]) & (lit_ref[j] > 1e-6)
 
-    if sub_g == 1:
-        # Whole-tile body (the round-3 kernel, known-good on hardware).
-        run = in_count & (jnp.max(lit) > 1e-6)
-
-        @pl.when(run)
-        def _():
-            t = _PRIM_ROWS[prim](rays, w, t_min)
-            occ = t < rays[:, 8:9]
+        @pl.when(run_j)
+        def _(j=j):
+            rj = rsc_ref[j * ssb : (j + 1) * ssb, :]
+            w = slab_refs[j][0]
+            t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
+            occ = t < rj[:, 8:9]
             f = jnp.where(occ, w[15:16, :], 1.0)
             # Lane product via exp(sum(log)): Mosaic has no reduce_prod
             # lowering on this path.  Exact at the boundaries (log(0) =
             # -inf -> exp = 0; log(1) = 0) and f in [0, 1].
             logf = jnp.log(jnp.maximum(f, 0.0))
-            tr_ref[0] = tr * jnp.exp(
-                jnp.sum(logf, axis=1, keepdims=True)
-            )
+            trj = tr_ref[0, j * ssb : (j + 1) * ssb]
+            new_tr = trj * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
+            tr_ref[0, j * ssb : (j + 1) * ssb] = new_tr
+            live_j = rj[:, 9:10] > 0.0
+            lit_ref[j] = jnp.max(jnp.where(live_j, new_tr, 0.0))
             nv_ref[0] = nv_ref[0] + 1
-        return
-
-    bits = sub_ref[s, k]
-    runs = []
-    for j in range(sub_g):
-        any_light_j = jnp.max(lit[j * ssb : (j + 1) * ssb]) > 1e-6
-        bit_j = ((bits >> j) & 1) > 0
-        runs.append(in_count & bit_j & any_light_j)
-    any_run = functools.reduce(jnp.logical_or, runs)
-
-    @pl.when(any_run)
-    def _():
-        nv_ref[0] = nv_ref[0] + 1
-
-    for j in range(sub_g):
-        @pl.when(runs[j])
-        def _(j=j):
-            rj = rays[j * ssb : (j + 1) * ssb]
-            t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
-            occ = t < rj[:, 8:9]
-            f = jnp.where(occ, w[15:16, :], 1.0)
-            logf = jnp.log(jnp.maximum(f, 0.0))
-            tr_ref[0, j * ssb : (j + 1) * ssb] = tr[
-                j * ssb : (j + 1) * ssb
-            ] * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
 
 
-def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, submask,
-                t_min, n_out, interpret, prim, sub_g):
-    s_tiles, k_max = cand.shape
+def _make_slab_index(j):
+    def slab_index(s, k, counts, cand, nearb):
+        # Clamp exhausted strips to their last candidate: consecutive
+        # equal block indices make the pipeline skip the re-copy.
+        kc = jnp.minimum(k, jnp.maximum(counts[s, j] - 1, 0))
+        return cand[s, j, kc], 0, 0
+
+    return slab_index
+
+
+def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, t_min,
+                n_out, interpret, prim):
+    s_tiles, g, k_max = cand.shape
     sb = rays_t.shape[2]
     block = packed.shape[2]
 
-    def slab_index(s, k, counts, cand, nearb, sub):
-        # Clamp exhausted tiles to their last candidate: consecutive
-        # equal block indices make the pipeline skip the re-copy.
-        kc = jnp.minimum(k, jnp.maximum(counts[s] - 1, 0))
-        return cand[s, kc], 0, 0
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(s_tiles, k_max),
         in_specs=[
             pl.BlockSpec((1, 16, sb), lambda s, k, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, block), slab_index,
-                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 16, block), _make_slab_index(j),
+                         memory_space=pltpu.VMEM)
+            for j in range(g)
         ],
         out_specs=tuple(
             [pl.BlockSpec((1, sb, 1), lambda s, k, *_: (s, 0, 0),
                           memory_space=pltpu.VMEM)] * n_out
         ) + (pl.BlockSpec((1, 1, 1), lambda s, k, *_: (s, 0, 0),
                           memory_space=pltpu.VMEM),),
-        scratch_shapes=[pltpu.VMEM((sb, 16), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((sb, 16), jnp.float32),
+            pltpu.SMEM((g,), jnp.float32),
+        ],
     )
     val_dtypes = [jnp.float32, jnp.int32][:n_out]
     out_shape = tuple(
@@ -361,14 +328,14 @@ def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, submask,
     ) + (jax.ShapeDtypeStruct((s_tiles, 1, 1), jnp.int32),)
     return pl.pallas_call(
         functools.partial(kernel, block=block, t_min=t_min, prim=prim,
-                          sub_g=sub_g),
+                          g=g),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts, cand, nearb, submask, rays_t, packed)
+    )(counts, cand, nearb, rays_t, *([packed] * g))
 
 
 def _chunked(fn, args_per_tile, s_tiles, chunk):
@@ -393,19 +360,11 @@ def _chunked(fn, args_per_tile, s_tiles, chunk):
     return outs
 
 
-def _resolve_submask(submask, cand, sub_g):
-    if submask is None:
-        assert sub_g == 1, "sub_g > 1 requires a submask"
-        return jnp.full(cand.shape, (1 << sub_g) - 1, jnp.int32)
-    return submask.astype(jnp.int32)
-
-
 def _default_interpret(interpret):
     """SOLR_PALLAS_INTERPRET=1 forces interpret mode so the FULL
-    traversal ladder (escalation fori_loop + nets) can run through the
-    Pallas kernels on CPU CI — hardware-free coverage of the exact
-    code path the TPU executes (the smoke test remains the hardware
-    gate)."""
+    traversal path (strip sweep + nets) can run through the Pallas
+    kernels on CPU CI — hardware-free coverage of the exact code path
+    the TPU executes (the smoke test remains the hardware gate)."""
     if interpret is None:
         import os
 
@@ -413,35 +372,33 @@ def _default_interpret(interpret):
     return interpret
 
 
-def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
-                  interpret=None, chunk: int = TILE_CHUNK,
-                  prim: str = "tri", submask=None, sub_g: int = 1):
-    """Closest hit over per-tile candidate blocks.
+def sweep_closest(packed, rays_t, cand, counts, nearb, t_min,
+                  interpret=None, chunk=None, prim: str = "tri"):
+    """Closest hit over per-strip front-to-back candidate lists.
 
-    packed (NB, 16, BLOCK) Woop slabs (solr_tpu.ops.packet.block_pack);
-    rays_t (S, 16, SB) from :func:`make_rays16t`; cand (S, K) block ids
-    nearest-first; counts (S,); near_bound (S, K+1) per-candidate
-    distance lower bounds (the +FAR sentinel column is unused but kept
-    for parity with two_level_select's output); submask (S, K) int32
-    per-sub-bundle need bits (solr_tpu.ops.packet.subbundle_bits) with
-    ``sub_g`` sub-bundles per tile (None -> whole-tile sweep).
+    packed (NB, 16, BLOCK) slabs (solr_tpu.ops.packet.block_pack);
+    rays_t (S, 16, SB) from :func:`make_rays16t`; cand (S, G, K) block
+    ids, each strip's list sorted by entry distance; counts (S, G);
+    nearb (S, G, K) per-candidate slab-entry lower bounds (ascending;
+    T_FAR past counts).  G must divide SB.
 
-    Returns (t (S, SB), prim idx (S, SB) with -1 = miss,
-    visits (S,) candidate blocks intersected by >= 1 sub-bundle).
+    Returns (t (S, SB), prim idx (S, SB) with -1 = miss, visits (S,)
+    strip-visit count: candidate blocks intersected, summed over the
+    tile's strips).
     """
     interpret = _default_interpret(interpret)
-    s_tiles = cand.shape[0]
-    nearb = near_bound[:, : cand.shape[1]]
-    submask = _resolve_submask(submask, cand, sub_g)
+    s_tiles, g, k_max = cand.shape
+    if chunk is None:
+        chunk = tile_chunk(g, k_max)
 
-    def one(rays_t, cand, counts, nearb, submask):
+    def one(rays_t, cand, counts, nearb):
         return _sweep_call(
             _closest_kernel, packed, rays_t, cand, counts, nearb,
-            submask, t_min, 2, interpret, prim, sub_g,
+            t_min, 2, interpret, prim,
         )
 
     bt, bi, nv = _chunked(
-        one, [rays_t, cand, counts, nearb, submask], s_tiles, chunk
+        one, [rays_t, cand, counts, nearb], s_tiles, chunk
     )
     sb = rays_t.shape[2]
     bi = bi.reshape(s_tiles, sb)
@@ -450,23 +407,23 @@ def sweep_closest(packed, rays_t, cand, counts, near_bound, t_min,
 
 
 def sweep_transmittance(packed, rays_t, cand, counts, t_min,
-                        interpret=None, chunk: int = TILE_CHUNK,
-                        prim: str = "tri", submask=None, sub_g: int = 1):
-    """Shadow transmittance over per-tile candidate blocks: (tr (S, SB)
+                        interpret=None, chunk=None, prim: str = "tri"):
+    """Shadow transmittance over per-strip candidate lists: (tr (S, SB)
     in [0, 1], visits (S,)).  Per-ray t_max rides in rays_t row 8."""
     interpret = _default_interpret(interpret)
-    s_tiles, k_max = cand.shape
-    nearb = jnp.zeros((s_tiles, k_max), jnp.float32)
-    submask = _resolve_submask(submask, cand, sub_g)
+    s_tiles, g, k_max = cand.shape
+    if chunk is None:
+        chunk = tile_chunk(g, k_max)
+    nearb = jnp.zeros((s_tiles, g, k_max), jnp.float32)
 
-    def one(rays_t, cand, counts, nearb, submask):
+    def one(rays_t, cand, counts, nearb):
         return _sweep_call(
             _trans_kernel, packed, rays_t, cand, counts, nearb,
-            submask, t_min, 1, interpret, prim, sub_g,
+            t_min, 1, interpret, prim,
         )
 
     tr, nv = _chunked(
-        one, [rays_t, cand, counts, nearb, submask], s_tiles, chunk
+        one, [rays_t, cand, counts, nearb], s_tiles, chunk
     )
     sb = rays_t.shape[2]
     return tr.reshape(s_tiles, sb), nv.reshape(s_tiles)

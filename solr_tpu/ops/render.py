@@ -245,8 +245,7 @@ def trace_rays_tiled(
             and h_loc % cfg.packet_tile_h == 0
         ):
             spec = (cfg.packet_rays, cfg.packet_max_blocks,
-                    cfg.packet_max_super, cfg.packet_exact,
-                    cfg.packet_escalate_blocks)
+                    cfg.packet_tile_cand, cfg.packet_exact)
     if spec is None:
         return trace_rays(scene, o, d, cfg, key)
     from solr_tpu.ops.packet import tile_permutation

@@ -625,90 +625,25 @@ def _compacted_net(need, carry, walk_chunk, sort_key=None):
     )
 
 
-def _compacted_tiles(need, carry, chunk_fn):
-    """Tile-granularity analog of :func:`_compacted_net`: process only
-    the tiles flagged in ``need`` (S,), in TILE_CHUNK-sized compacted
-    chunks, each under ``lax.cond``.  ``chunk_fn(tidx, act, carry)``
-    sweeps one compacted tile chunk and scatters into ``carry``.
-
-    The chunk size is min(S, pallas_kernels.TILE_CHUNK) so every
-    escalation sweep re-uses the pass-1 kernel's (chunk, k1) grid shape
-    — a differently-shaped chunk would compile a SECOND Mosaic kernel
-    at ~minutes through the remote helper (ADVICE r03 medium #3: the
-    old S//4 cap did exactly that for frames under 1024 tiles)."""
-    from solr_tpu.ops.pallas_kernels import TILE_CHUNK
-
-    s = need.shape[0]
-    cap = min(s, TILE_CHUNK)
-    n_chunks = -(-s // cap)
-    tidx_all = jnp.nonzero(need, size=n_chunks * cap, fill_value=s)[0]
-
-    def body(c, carry):
-        tidx = jax.lax.dynamic_slice_in_dim(tidx_all, c * cap, cap)
-        act = tidx < s
-        return jax.lax.cond(
-            jnp.any(act),
-            lambda carry: chunk_fn(tidx, act, carry),
-            lambda carry: carry,
-            carry,
-        )
-
-    return jax.lax.cond(
-        need.any(),
-        lambda carry: jax.lax.fori_loop(0, n_chunks, body, carry),
-        lambda carry: carry,
-        carry,
-    )
-
-
-def _pad_cols(a, width: int, fill=0):
-    """Right-pad a (S, K) array to ``width`` columns with ``fill``."""
-    k = a.shape[1]
-    if k >= width:
-        return a
-    return jnp.pad(a, ((0, 0), (0, width - k)), constant_values=fill)
-
-
-def _sub_g(tile_rays: int) -> int:
-    """Sub-bundles per tile for the kernel's sub-bundle masking: 32-ray
-    strips (2 pixel rows of a 16-wide tile), capped at 8 so the bitmask
-    fits comfortably and the kernel body stays small.  1 when the tile
-    does not divide evenly (masking off)."""
-    import os
-
-    g = int(os.environ.get("SOLR_PACKET_SUBG", "8"))
-    if g <= 1 or tile_rays % g or (tile_rays // g) % 8:
-        return 1
-    return g
-
-
 def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
-    """Packet closest hit: two-level cull -> nearest-first candidate
+    """Packet closest hit: per-strip interval lists -> front-to-back
     sweep (Pallas grid-pipelined kernel on TPU, XLA block scan
-    elsewhere) -> CAP ESCALATION -> conditional exactness net.
+    elsewhere) -> conditional exactness net.
 
-    Exactness ladder (VERDICT r02 next-round item 2, option a):
-      pass 1: sweep the K nearest candidates per tile;
-      passes 2..P: tiles whose result is not yet provably exact (some
-        live ray's best hit — capped by its scene-box exit — is not
-        closer than the nearest unvisited candidate) re-sweep their
-        next k1 candidates through the same kernel, COMPACTED so cost
-        tracks the escalating-tile count; the passes run inside ONE
-        `fori_loop` whose body slices a k1-wide candidate window, so
-        the whole ladder compiles a single Mosaic kernel (the round-3
-        unrolled passes pushed the frame compile to 373 s);
-      net: any ray still unproven (cap drop at either cull level)
-        brute-forces compacted under ``lax.cond`` — with adequate caps
-        this predicate is false on bench-scale frames and the walk
-        costs nothing.
+    Round-5 structure (VERDICT r04 missing #1): candidate selection is
+    solr_tpu.ops.packet.strip_interval_select — each 32-ray strip owns
+    its own entry-sorted block list built from per-ray slab tests, so
+    the sweep does ~mean-3.8-blocks-per-ray of work instead of ~26
+    shared per-tile candidates, at identical exactness.  There is no
+    cap escalation and no tuning game: the static widths (K=64/Kt=256)
+    exceed every measured list, and any overflow is certified per ray
+    by ``dropped`` and union-net-walked under ``lax.cond`` (the
+    predicate is false at bench scale, so the walk costs nothing).
     """
     from solr_tpu.constants import PARK_THRESHOLD
-    from solr_tpu.ops import bvh as bvh_mod
     from solr_tpu.ops import packet as pk
 
-    tile_rays, max_blocks, max_super, exact, escalate = packet
-    k1 = max_blocks
-    k2 = escalate if exact else 0
+    tile_rays, ks, kt, exact = packet
     r = o.shape[0]
     o_t = o.reshape(-1, tile_rays, 3)
     d_t = d.reshape(-1, tile_rays, 3)
@@ -716,18 +651,8 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     net_bvh = _pool_net_bvh(scene, prim)
     pool_code = _PRIM_POOL[prim]
     live = o_t[..., 0] < PARK_THRESHOLD  # (S, SB)
-    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t, live)
-    mask1, near1 = pk.cull_blocks(
-        po, ro, axis, cos_g,
-        accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-    )
-    mask1 = mask1 & jnp.any(live, axis=1)[:, None]
-    cand, counts, near_sorted, near_bound, dropped, dropped_super = (
-        pk.two_level_select(
-            mask1, near1, accel.block_bounds,
-            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
-            max_super, k1 + k2,
-        )
+    cand, counts, nearb, dropped = pk.strip_interval_select(
+        o_t, d_t, live, accel, kt, ks, t_min
     )
     # Per-ray scene-box exit distance: the upper bound on ANY possible
     # hit, so miss/sky rays (best_t = T_FAR) neither stall the kernel's
@@ -735,98 +660,33 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
     bmin, bmax = _scene_box(accel)
     t_cap = pk.ray_box_exit(o_t, d_t, bmin, bmax)  # (S, SB)
 
-    use_pallas = _use_pallas()
-    sub_g = _sub_g(tile_rays) if use_pallas else 1
-    bits = (
-        pk.subbundle_bits(o_t, d_t, live, cand, accel.block_bounds, sub_g)
-        if sub_g > 1 else jnp.ones_like(cand)
-    )
-    if use_pallas:
+    g = cand.shape[1]
+    if _use_pallas():
         from solr_tpu.ops.pallas_kernels import (
             make_rays16t, sweep_closest,
         )
 
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_cap, live_t=live)
-
-    def sweep(rays_sel, o_sel, d_sel, cand_p, counts_p, nearb_p, bits_p):
-        if use_pallas:
-            bt, bi, _ = sweep_closest(
-                accel.packed, rays_sel, cand_p, counts_p, nearb_p, t_min,
-                prim=prim, submask=bits_p, sub_g=sub_g,
-            )
-            return bt, bi
-        return pk.tri_blocks_closest(
-            accel.packed, o_sel, d_sel, cand_p, counts_p, t_min, prim=prim
+        bt, bi, _ = sweep_closest(
+            accel.packed, rays_t, cand, counts, nearb, t_min, prim=prim
         )
-
-    rays_all = rays_t if use_pallas else None
-    counts1 = jnp.minimum(counts, k1)
-    bt, bi = sweep(rays_all, o_t, d_t, cand[:, :k1], counts1,
-                   near_bound[:, : k1 + 1], bits[:, :k1])
-
-    # Cap escalation: one fori_loop over depth passes of k1 candidates
-    # each, over COMPACTED escalating tiles only.  Every pass re-uses
-    # the pass-1 kernel shape (grid (chunk, k1)) — a distinctly-shaped
-    # K2 kernel would cost its own ~5 min Mosaic compile through the
-    # remote helper, and skipped grid steps are not free at runtime
-    # (~0.2 us each, serialized on the one TensorCore).
-    s_tiles_n = counts.shape[0]
-    k_eff = cand.shape[1]  # two_level_select clamps k1+k2 to the real
-    #                        child-candidate width on tiny scenes
-    n_passes = -(-max(k_eff - k1, 0) // k1) if k2 > 0 else 0
-    if n_passes > 0:
-        # Column-pad every per-candidate array to (n_passes + 1) * k1 so
-        # each pass's dynamic window is a full k1 wide (the final pass's
-        # padding columns carry count 0 / +FAR bounds and never run).
-        k_pad = (n_passes + 1) * k1
-        cand_all = _pad_cols(cand, k_pad)
-        bits_all = _pad_cols(bits, k_pad)
-        near_sorted_all = _pad_cols(near_sorted, k_pad, T_FAR)
-        nb_all = _pad_cols(near_bound, k_pad + 1, T_FAR)
-
-        def pass_body(p, carry):
-            bt, bi = carry
-            lo = p * k1
-            # A tile escalates into pass p when it has candidates at
-            # this depth AND some live ray is not provably done first.
-            more = counts > lo
-            bound_lo = jax.lax.dynamic_slice_in_dim(
-                near_sorted_all, lo, 1, axis=1
-            )[:, 0]
-            need_p = live & (
-                jnp.minimum(bt, t_cap)
-                > jnp.where(more, bound_lo, T_FAR)[:, None]
-            )
-            tile_need = jnp.any(need_p, axis=1) & more
-            counts_p = jnp.clip(counts - lo, 0, k1).astype(counts.dtype)
-            cand_sl = jax.lax.dynamic_slice_in_dim(cand_all, lo, k1, 1)
-            bits_sl = jax.lax.dynamic_slice_in_dim(bits_all, lo, k1, 1)
-            nb_sl = jax.lax.dynamic_slice_in_dim(nb_all, lo, k1 + 1, 1)
-
-            def esc_chunk(tidx, act, carry):
-                bt_c, bi_c = carry
-                safe = jnp.minimum(tidx, s_tiles_n - 1)
-                cnt = jnp.where(act, counts_p[safe], 0)
-                bt2, bi2 = sweep(
-                    None if rays_all is None else rays_all[safe],
-                    o_t[safe], d_t[safe],
-                    cand_sl[safe], cnt, nb_sl[safe], bits_sl[safe],
-                )
-                better = bt2 < bt_c[safe]
-                new_t = jnp.where(better, bt2, bt_c[safe])
-                new_i = jnp.where(better, bi2, bi_c[safe])
-                return (
-                    bt_c.at[tidx].set(new_t, mode="drop"),
-                    bi_c.at[tidx].set(new_i, mode="drop"),
-                )
-
-            return _compacted_tiles(tile_need, (bt, bi), esc_chunk)
-
-        bt, bi = jax.lax.fori_loop(1, n_passes + 1, pass_body, (bt, bi))
+    else:
+        # XLA mirror: the strip IS the tile of the block scan.
+        ssb = tile_rays // g
+        k_eff = cand.shape[2]
+        bt, bi = pk.tri_blocks_closest(
+            accel.packed,
+            o_t.reshape(-1, ssb, 3), d_t.reshape(-1, ssb, 3),
+            cand.reshape(-1, k_eff), counts.reshape(-1), t_min,
+            prim=prim,
+        )
+        bt = bt.reshape(-1, tile_rays)
+        bi = bi.reshape(-1, tile_rays)
 
     if exact and net_bvh is not None:
+        drop_r = jnp.repeat(dropped, tile_rays // g, axis=1)  # (S, SB)
         need = (
-            live & (jnp.minimum(bt, t_cap) > dropped[:, None])
+            live & (jnp.minimum(bt, t_cap) > drop_r)
         ).reshape(r)
         bt_f, bi_f = bt.reshape(r), bi.reshape(r)
         # Spatial sort key: the ray segment's midpoint (bounded by the
@@ -966,26 +826,24 @@ def scene_transmittance(
 def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
                               prim="tri"):
     """Packet shadow transmittance; handles (R, 3) and (R, L, 3) rays
-    (the shadow path is vectorized rays x lights).
+    (the shadow path is rays x lights; lights unroll as a static
+    Python loop — a vmapped lax.cond lowers to a select that executes
+    both branches, THE round-4 50 s/frame bug, PERF.md).
 
-    Shadow bundles are culled as SEGMENT bundles (capsule between the
-    origin sphere and the light-sample sphere — solr_tpu.ops.packet.
-    capsule_bundles), which stays tight even when the mean-direction
-    cone is wide.  Sub-bundles that dropped any candidate re-walk the
-    BVH masked — transmittance needs every occluder, so the drop is
-    never provably safe the way closest-hit drops are.  Like the
-    closest-hit net, the walk runs under ``lax.cond`` (one predicate
-    per light, OUTSIDE the per-light vmap — a vmapped cond lowers to a
-    select that would execute the walk unconditionally) so frames whose
-    caps suffice pay nothing (VERDICT r02 weak #2).
+    Selection is the same strip_interval_select as the closest path,
+    with the tile prefilter culling origin->light SEGMENT bundles
+    (capsule between the origin sphere and the light-sample sphere —
+    solr_tpu.ops.packet.capsule_bundles) and per-ray slab intervals
+    clipped at the light distance.  Transmittance needs EVERY occluder
+    (no front-to-back order), so a strip sweeps its whole list, but
+    stops once all its live rays are extinguished.  Any capped-out
+    strip/tile is certified by ``dropped`` and union-net-walked under
+    ``lax.cond`` (false at bench scale).
     """
     from solr_tpu.constants import PARK_THRESHOLD, T_FAR as _TF
-    from solr_tpu.ops import bvh as bvh_mod
     from solr_tpu.ops import packet as pk
 
-    tile_rays, max_blocks, max_super, exact, escalate = packet
-    k1 = max_blocks
-    k2 = escalate if exact else 0
+    tile_rays, ks, kt, exact = packet
     accel = _pool_accel(scene, prim)
     net_bvh = _pool_net_bvh(scene, prim)
     pool_code = _PRIM_POOL[prim]
@@ -996,99 +854,34 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
         tm_full = jnp.broadcast_to(tm2, o2.shape[:-1])
         tm_t = tm_full.reshape(-1, tile_rays)
         live = o_t[..., 0] < PARK_THRESHOLD
-        po, ro, pa, ra = pk.capsule_bundles(o_t, d_t, tm_t, live)
-        mask1, near1 = pk.cull_capsule(
-            po, ro, pa, ra,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+        cand, counts, nearb, dropped = pk.strip_interval_select(
+            o_t, d_t, live, accel, kt, ks, t_min, tm_t=tm_t
         )
-        mask1 = mask1 & jnp.any(live, axis=1)[:, None]
-        cand, counts, _near, _nb, dropped, dropped_super = (
-            pk.two_level_select(
-                mask1, near1, accel.block_bounds,
-                lambda bbg: pk.cull_capsule_g(po, ro, pa, ra, bbg),
-                max_super, k1 + k2,
-            )
-        )
-        use_pallas = _use_pallas()
-        sub_g = _sub_g(tile_rays) if use_pallas else 1
-        bits = (
-            pk.subbundle_bits_capsule(
-                o_t, d_t, tm_t, live, cand, accel.block_bounds, sub_g
-            )
-            if sub_g > 1 else jnp.ones_like(cand)
-        )
-        if use_pallas:
+        g = cand.shape[1]
+        if _use_pallas():
             from solr_tpu.ops.pallas_kernels import (
                 make_rays16t, sweep_transmittance,
             )
 
             rays_t = make_rays16t(o_t, d_t, tmax_t=tm_t, live_t=live)
-
-        def sweep(rays_sel, o_sel, d_sel, tm_sel, cand_p, counts_p,
-                  bits_p):
-            if use_pallas:
-                tr, _ = sweep_transmittance(
-                    accel.packed, rays_sel, cand_p, counts_p, t_min,
-                    prim=prim, submask=bits_p, sub_g=sub_g,
-                )
-                return tr
-            return pk.tri_blocks_transmittance(
-                accel.packed, o_sel, d_sel, tm_sel, cand_p, counts_p,
-                t_min, prim=prim,
+            tr, _ = sweep_transmittance(
+                accel.packed, rays_t, cand, counts, t_min, prim=prim
             )
-
-        rays_all = rays_t if use_pallas else None
-        tr = sweep(rays_all, o_t, d_t, tm_t, cand[:, :k1],
-                   jnp.minimum(counts, k1), bits[:, :k1])
-        # Transmittance needs EVERY occluder: a fori_loop of depth
-        # passes of k1 candidates over compacted overflowing tiles,
-        # re-using the pass-1 kernel shape (see the closest-hit
-        # escalation for why both properties matter).
-        s_tiles_n = counts.shape[0]
-        k_eff = cand.shape[1]
-        n_passes = -(-max(k_eff - k1, 0) // k1) if k2 > 0 else 0
-        if n_passes > 0:
-            k_pad = (n_passes + 1) * k1
-            cand_all = _pad_cols(cand, k_pad)
-            bits_all = _pad_cols(bits, k_pad)
-
-            def pass_body(p, carry):
-                (tr,) = carry
-                lo = p * k1
-                counts_p = jnp.clip(counts - lo, 0, k1).astype(
-                    counts.dtype
-                )
-                cand_sl = jax.lax.dynamic_slice_in_dim(
-                    cand_all, lo, k1, 1
-                )
-                bits_sl = jax.lax.dynamic_slice_in_dim(
-                    bits_all, lo, k1, 1
-                )
-
-                def esc_chunk(tidx, act, carry):
-                    (tr_c,) = carry
-                    safe = jnp.minimum(tidx, s_tiles_n - 1)
-                    cnt = jnp.where(act, counts_p[safe], 0)
-                    tr2 = sweep(
-                        None if rays_all is None else rays_all[safe],
-                        o_t[safe], d_t[safe], tm_t[safe],
-                        cand_sl[safe], cnt, bits_sl[safe],
-                    )
-                    tr2 = jnp.where(act[:, None], tr2, 1.0)
-                    return (tr_c.at[tidx].mul(tr2, mode="drop"),)
-
-                return _compacted_tiles(counts > lo, (tr,), esc_chunk)
-
-            (tr,) = jax.lax.fori_loop(1, n_passes + 1, pass_body, (tr,))
-        # Unproven whenever EITHER cull level dropped a candidate
-        # (``dropped`` = min of the super- and child-level drop
-        # sentinels, +FAR when nothing was dropped).  The old predicate
-        # `(counts > k1+k2) | dropped_super` was part-dead — counts is
-        # clamped to the candidate width, so child-level cap drops
-        # silently skipped occluders (ADVICE r03 low #4).  Capsule-cull
-        # slack is not a distance along the ray, so no per-ray distance
-        # refinement applies here, unlike the closest-hit net.
-        need = live & (dropped < _TF * 0.5)[:, None]
+        else:
+            ssb = tile_rays // g
+            k_eff = cand.shape[2]
+            tr = pk.tri_blocks_transmittance(
+                accel.packed,
+                o_t.reshape(-1, ssb, 3), d_t.reshape(-1, ssb, 3),
+                tm_t.reshape(-1, ssb),
+                cand.reshape(-1, k_eff), counts.reshape(-1), t_min,
+                prim=prim,
+            )
+            tr = tr.reshape(-1, tile_rays)
+        # A dropped block occludes a ray only if its interval can start
+        # before the ray's light distance.
+        drop_r = jnp.repeat(dropped, tile_rays // g, axis=1)
+        need = live & (drop_r < jnp.minimum(tm_t, _TF * 0.5))
         return tr.reshape(o2.shape[:-1]), need.reshape(o2.shape[:-1])
 
     def net(o2, d2, tm2, tr, need):  # conditional exactness walk
@@ -1118,36 +911,24 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
                               sort_key=net_key)[0]
 
     do_net = exact and net_bvh is not None
-    if o.ndim == 3 and o.shape[1] == 1:
-        # Single light (the common case): skip the per-light vmap
-        # entirely — under vmap every `lax.cond` in the escalation
-        # ladder lowers to a select that EXECUTES the compacted sweep
-        # chunks unconditionally (~1.6 ms of skipped grid steps per
-        # chunk), so the direct call keeps conditional skipping real.
-        tm = jnp.broadcast_to(t_max, o.shape[:-1])
-        tr, need = one_sweep(o[:, 0], d[:, 0], tm[:, 0])
+
+    def one_light(o2, d2, tm2):
+        tr, need = one_sweep(o2, d2, tm2)
         if do_net:
-            tr = net(o[:, 0], d[:, 0], tm[:, 0], tr, need)
-        return tr[:, None]
-    if o.ndim == 3:  # (R, L, 3): per-light bundles
-        tm = jnp.broadcast_to(t_max, o.shape[:-1])
-        tr, need = jax.vmap(one_sweep, in_axes=(1, 1, 1), out_axes=1)(
-            o, d, tm
-        )
-        if do_net:
-            tr = jnp.stack(
-                [
-                    net(o[:, l], d[:, l], tm[:, l], tr[:, l], need[:, l])
-                    for l in range(o.shape[1])
-                ],
-                axis=1,
-            )
+            tr = net(o2, d2, tm2, tr, need)
         return tr
+
+    if o.ndim == 3:  # (R, L, 3): per-light bundles, STATIC loop — a
+        # vmapped pallas_call / lax.cond would batch the kernel and
+        # run every net branch unconditionally (PERF.md round-4 bug).
+        tm = jnp.broadcast_to(t_max, o.shape[:-1])
+        return jnp.stack(
+            [one_light(o[:, l], d[:, l], tm[:, l])
+             for l in range(o.shape[1])],
+            axis=1,
+        )
     tm = jnp.broadcast_to(t_max, o.shape[:-1])
-    tr, need = one_sweep(o, d, tm)
-    if do_net:
-        tr = net(o, d, tm, tr, need)
-    return tr
+    return one_light(o, d, tm)
 
 
 def _pool_transmittance_brute(scene: Scene, code: int, o, d, t_max,

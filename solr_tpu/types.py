@@ -274,32 +274,32 @@ class RenderConfig:
     traversal: str = "auto"  # "auto" | "packet" | "while"
     packet_tile_w: int = 16  # pixel-tile width (packet sub-bundle)
     packet_tile_h: int = 16  # pixel-tile height
-    packet_max_blocks: int = 32  # per-sub-bundle candidate block cap (K)
-    packet_max_super: int = 48  # per-sub-bundle super-block cap (M);
-    #   round 3 measured M=16 dropping super-blocks on 31% of tiles and
-    #   feeding 13.8% of rays to the brute-force net — the cap exists
-    #   to bound the L2 cull matrix, not to be hit in normal frames
+    packet_max_blocks: int = 64  # per-STRIP interval candidate width K:
+    #   each 32-ray strip gets its own front-to-back block-interval list
+    #   of at most K blocks (round-5 probe at 200k tris: strip union
+    #   mean 9.2 / max 42 — K=64 holds every list with margin, so the
+    #   per-ray exactness certificate stays FAR and the net never fires)
+    packet_tile_cand: int = 256  # tile-level prefilter width Kt: the
+    #   per-ray slab tests run only against the tile's Kt nearest
+    #   cull-surviving blocks (bounds the (S, SB, Kt) slab matrices);
+    #   drops here are certified by the same per-ray proof as strip
+    #   drops, so Kt is a cost knob, not a correctness knob
     packet_exact: bool = True  # fallback-walk rays whose candidate drop
     #                            is not provably safe (exactness net)
-    packet_escalate_blocks: int = 96  # pass-2 sweep cap: tiles whose
-    #   pass-1 result is not provably exact re-sweep their next-nearest
-    #   candidates through the SAME kernel before any per-ray walk
-    #   (VERDICT r02 next-round item 2, option a: cap escalation)
 
     @property
     def packet_rays(self) -> int:
         return self.packet_tile_w * self.packet_tile_h
 
     def packet_spec(self):
-        """(tile_rays, max_blocks, max_super, exact, escalate_blocks)
-        when packet traversal applies."""
+        """(tile_rays, strip_k, tile_cand, exact) when packet traversal
+        applies."""
         if self.traversal in ("auto", "packet") and (
             self.width % self.packet_tile_w == 0
             and self.height % self.packet_tile_h == 0
         ):
             return (self.packet_rays, self.packet_max_blocks,
-                    self.packet_max_super, self.packet_exact,
-                    self.packet_escalate_blocks)
+                    self.packet_tile_cand, self.packet_exact)
         return None
 
     @property

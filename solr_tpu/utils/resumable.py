@@ -40,6 +40,31 @@ from solr_tpu.utils.checkpoint import CheckpointManager, RenderState
 __all__ = ["resumable_render", "touch_heartbeat", "heartbeat_age"]
 
 
+def _fingerprint(scene, camera, cfg, row0: int, n_rows: int) -> str:
+    """Content hash of everything a chunk's pixels depend on.
+
+    A checkpoint dir left over from a previous render of a DIFFERENT
+    (scene, camera, cfg, row range) must not be resumed — restoring
+    iteration == n_chunks would silently return the stale image without
+    rendering anything (ADVICE r04 medium #1).  Large leaves hash a
+    64 KB prefix plus their float sum: cheap at 1M tris, and any edit
+    that changes geometry/materials/camera perturbs one or the other.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr(cfg).encode())
+    h.update(f"rows:{row0}:{n_rows}".encode())
+    for leaf in jax.tree_util.tree_leaves((scene, camera)):
+        a = np.asarray(leaf)
+        h.update(str((a.shape, a.dtype.str)).encode())
+        b = a.tobytes()
+        h.update(b[:65536])
+        if a.size and np.issubdtype(a.dtype, np.number):
+            h.update(np.asarray(a, np.float64).sum().tobytes())
+    return h.hexdigest()
+
+
 def touch_heartbeat(path: str) -> None:
     with open(path, "w") as f:
         f.write(str(time.time()))
@@ -86,6 +111,7 @@ def resumable_render(
     heartbeat: Optional[str] = None,
     chunk_sleep_s: float = 0.0,
     log=None,
+    cleanup: bool = False,
 ):
     """Render rows [row0, row0 + n_rows) in checkpointed chunks.
 
@@ -95,12 +121,36 @@ def resumable_render(
     chunk — kill the process at ANY point and a relaunch produces the
     identical image.  ``chunk_sleep_s`` artificially slows chunks so
     fault-injection tests can kill mid-frame deterministically.
+
+    A ``fingerprint`` sidecar records a hash of (scene, camera, cfg,
+    row range); a directory whose fingerprint mismatches is stale (the
+    inputs changed since the interrupted render) and is restarted from
+    scratch instead of silently returning the old image (ADVICE r04
+    medium #1).  ``cleanup=True`` removes the checkpoint directory
+    after the frame completes — for auto-derived directories the caller
+    never asked to keep.
     """
     h = cfg.height if n_rows is None else n_rows
     if h % rows_per_chunk:
         raise ValueError(f"{h} rows not divisible by {rows_per_chunk}")
     n_chunks = h // rows_per_chunk
+    fp = _fingerprint(scene, camera, cfg, row0, h)
+    fp_path = os.path.join(directory, "fingerprint")
+    try:
+        with open(fp_path) as f:
+            stale = f.read().strip() != fp
+    except OSError:
+        stale = False
+    if stale:
+        import shutil
+
+        if log:
+            log(event="stale_checkpoint_discarded", directory=directory)
+        shutil.rmtree(directory, ignore_errors=True)
     ckpt = CheckpointManager(directory, keep_n=2)
+    os.makedirs(directory, exist_ok=True)
+    with open(fp_path, "w") as f:
+        f.write(fp)
     # RenderState.params is a generic pytree slot; the depth buffer
     # rides there so DoF post-fx stays correct across a resume.
     template = RenderState(
@@ -140,4 +190,8 @@ def resumable_render(
             log(event="chunk_done", chunk=c, rows=rows_per_chunk)
         if chunk_sleep_s:
             time.sleep(chunk_sleep_s)
+    if cleanup:
+        import shutil
+
+        shutil.rmtree(directory, ignore_errors=True)
     return accum, depth

@@ -158,11 +158,15 @@ def main(argv=None):
         from solr_tpu.ops import postfx as postfx_mod
         from solr_tpu.utils.resumable import resumable_render
 
+        # Auto-derived dirs are cleaned up after success (and stale ones
+        # from an edited scene are invalidated by the fingerprint —
+        # ADVICE r04 medium #1); an explicit --checkpoint-dir is kept.
         ckdir = args.checkpoint_dir or (args.out + ".ckpt")
         t0 = time.time()
         img, depth = resumable_render(
             scene, camera, cfg, ckdir, rows_per_chunk=args.tile_rows,
             log=(metrics.log if metrics else None),
+            cleanup=args.checkpoint_dir is None,
         )
         img = postfx_mod.apply_postfx(img, depth, scene, camera, cfg,
                                       None)

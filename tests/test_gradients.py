@@ -167,7 +167,7 @@ class TestBVHGradients:
 class TestInverseRendering:
     """BASELINE config #4: recover sphere params by gradient descent."""
 
-    def test_recover_albedo_and_position(self):
+    def test_recover_albedo(self):
         scene = _f64_scene()
         cam = st.Camera.create(position=(0.0, 0.0, -1.6), fov=1.1,
                                dtype=jnp.float64)
@@ -176,9 +176,9 @@ class TestInverseRendering:
         target = target[..., :3]
 
         # Albedo-only perturbation: shading gradients exist everywhere,
-        # so full recovery is expected.  (Silhouette-driven position
-        # recovery is out of scope: hit topology is detached, per
-        # SURVEY.md section 7 M2 — position grads are shading-only.)
+        # so full recovery is expected.  Geometry recovery is the
+        # separate test below (RGB-D objective — silhouette coverage
+        # carries no gradient at detached topology, SURVEY.md §7 M2).
         true_params = scene.params
         start = dict(true_params)
         start["albedo"] = true_params["albedo"].at[1:, :3].add(0.15)
@@ -204,6 +204,75 @@ class TestInverseRendering:
         l1 = float(vg(p)[0])
         assert np.isfinite(l1)
         assert l1 < l0 * 0.15, f"loss {l0:.3e} -> {l1:.3e}"
+
+    def test_recover_sphere_geometry(self):
+        """BASELINE config #4 literally: recover perturbed sphere
+        centers + radii (+albedo) by descent through the renderer
+        (VERDICT r04 missing #4).  RGB-D objective: depth is a render
+        output, and supplies the smooth geometric cue that silhouette
+        coverage (detached topology) cannot.  Done-bar: param error
+        down >= 5x (examples/inverse.py --geometry is the full-size
+        artifact)."""
+        import optax
+
+        b = st.SceneBuilder()
+        floor = b.add_material(color=(0.75, 0.75, 0.75, 1.0))
+        red = b.add_material(color=(0.85, 0.25, 0.2, 1.0), specular=0.4)
+        teal = b.add_material(color=(0.15, 0.6, 0.65, 1.0), specular=0.6)
+        b.add_plane(st.types.PlaneAxis.XZ, (0.0, -1.0, 0.0),
+                    (12.0, 12.0), floor)
+        b.add_sphere((-1.1, 0.0, 0.8), 1.0, red)
+        b.add_sphere((1.2, -0.3, 0.0), 0.7, teal)
+        b.add_light((3.0, 6.0, -4.0), intensity=1.0)
+        scene = b.build()
+        cam = st.Camera.create(position=(0.0, 1.2, -5.0),
+                               angles=(0.18, 0.0, 0.0), fov=1.0)
+        cfg = st.RenderConfig(width=32, height=32, max_bounces=2)
+        timg, tdepth = render_sample(scene, cam, cfg)
+        timg = jax.lax.stop_gradient(timg[..., :3])
+        tdepth = jax.lax.stop_gradient(tdepth)
+        tvalid = tdepth < 1e29
+
+        true_p = scene.params
+        start = dict(true_p)
+        start["sphere_center"] = true_p["sphere_center"].at[0:2].add(
+            jnp.asarray([[0.15, -0.12, 0.1], [-0.12, 0.1, -0.08]])
+        )
+        start["sphere_radius"] = true_p["sphere_radius"].at[0:2].mul(
+            jnp.asarray([1.12, 0.9])
+        )
+        mask = {k: k in ("sphere_center", "sphere_radius")
+                for k in start}
+
+        def loss(p):
+            img, depth = render_sample(scene.with_params(p), cam, cfg)
+            dres = jnp.where(tvalid & (depth < 1e29), depth - tdepth,
+                             0.0)
+            return (jnp.mean((img[..., :3] - timg) ** 2)
+                    + 0.05 * jnp.mean(dres ** 2))
+
+        opt = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.adam(1e-2))
+        vg = jax.jit(jax.value_and_grad(loss))
+        p, state = start, opt.init(start)
+
+        def err(p):
+            return max(
+                float(jnp.abs(p["sphere_center"][0:2]
+                              - true_p["sphere_center"][0:2]).max()),
+                float(jnp.abs(p["sphere_radius"][0:2]
+                              - true_p["sphere_radius"][0:2]).max()),
+            )
+
+        e0 = err(p)
+        for _ in range(150):
+            _, g = vg(p)
+            g = {k: (v if mask[k] else jax.tree.map(jnp.zeros_like, v))
+                 for k, v in g.items()}
+            updates, state = opt.update(g, state)
+            p = optax.apply_updates(p, updates)
+        e1 = err(p)
+        assert e1 < e0 / 5.0, f"geometry error {e0:.4f} -> {e1:.4f}"
 
 
 class TestDifferentiabilityContract:

@@ -85,7 +85,7 @@ class TestPacketMatchesWhile:
         base = dict(width=64, height=64, max_bounces=2)
         cfg_p = st.RenderConfig(
             **base, traversal="packet", packet_tile_w=16, packet_tile_h=16,
-            packet_max_blocks=2, packet_max_super=2,
+            packet_max_blocks=2, packet_tile_cand=4,
         )
         cfg_w = st.RenderConfig(**base, traversal="while")
         img_p, t_p = _render(tri_scene, CAM, cfg_p)
@@ -120,7 +120,7 @@ class TestPacketMatchesWhile:
                    for x in g["vertices"]) > 0
 
 
-class TestTwoLevelCull:
+class TestStripIntervalSelect:
     def _bundle_setup(self, scene, cam, cfg):
         from solr_tpu.ops.camera import camera_rays
 
@@ -140,31 +140,64 @@ class TestTwoLevelCull:
         cam = st.Camera.create(position=(0.0, 8.0, 10.0),
                                angles=(1.35, 0.0, 0.0), fov=1.0)
         o_t, d_t = self._bundle_setup(scene, cam, cfg)
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask1, near1 = pk.cull_blocks(
-            po, ro, axis, cos_g,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-        )
-        cand, counts, near_sorted, near_bound, dropped, _dsup = \
-            pk.two_level_select(
-            mask1, near1, accel.block_bounds,
-            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
-            cfg.packet_max_super, cfg.packet_max_blocks,
+        live = jnp.ones(o_t.shape[:2], bool)
+        cand, counts, nearb, dropped = pk.strip_interval_select(
+            o_t, d_t, live, accel, cfg.packet_tile_cand,
+            cfg.packet_max_blocks, 1e-4,
         )
         c = np.asarray(counts)
         n_blocks = accel.packed.shape[0]
         assert c.max() <= cfg.packet_max_blocks
-        # Tight: top-down view of a flat field touches few blocks.
-        assert c.mean() < 0.3 * n_blocks
+        # Tight: per-strip interval lists of a top-down view touch a
+        # small fraction of the block list.
+        assert c.mean() < 0.2 * n_blocks
+        # Nothing dropped at default widths on this scene: the
+        # exactness certificate stays +FAR.
+        assert (np.asarray(dropped) > 1e29).all()
         # Valid candidates are distinct (transmittance multiplies per
-        # occurrence — duplicates would double-attenuate).
+        # occurrence — duplicates would double-attenuate) and entry
+        # bounds ascend (front-to-back early-out contract).
         cand_np = np.asarray(cand)
+        nb_np = np.asarray(nearb)
         for s in range(0, cand_np.shape[0], 7):
-            v = cand_np[s, : c[s]]
-            assert len(np.unique(v)) == len(v)
-        # near_sorted ascending (front-to-back early-out contract).
-        ns = np.asarray(near_sorted)
-        assert (np.diff(ns, axis=1) >= -1e-6).all()
+            for j in range(cand_np.shape[1]):
+                v = cand_np[s, j, : c[s, j]]
+                assert len(np.unique(v)) == len(v)
+                assert (np.diff(nb_np[s, j, : c[s, j]]) >= -1e-6).all()
+
+    def test_selection_covers_every_ray_hit(self):
+        """Per-ray slab coverage: every block a ray's slab interval
+        hits must appear in its strip's list (or be certified
+        dropped).  Brute-check on a small terrain."""
+        scene = _terrain_scene(40)
+        accel = scene.tri_accel
+        cfg = st.RenderConfig(width=32, height=32, packet_tile_w=16,
+                              packet_tile_h=16)
+        cam = st.Camera.create(position=(0.0, 6.0, 8.0),
+                               angles=(1.2, 0.0, 0.0), fov=1.0)
+        o_t, d_t = self._bundle_setup(scene, cam, cfg)
+        live = jnp.ones(o_t.shape[:2], bool)
+        cand, counts, nearb, dropped = pk.strip_interval_select(
+            o_t, d_t, live, accel, 256, 64, 1e-4,
+        )
+        assert (np.asarray(dropped) > 1e29).all()
+        from solr_tpu.ops.traverse import _ray_block_slabs
+
+        s, sb, _ = o_t.shape
+        g = cand.shape[1]
+        strip = sb // g
+        entry, hitm = _ray_block_slabs(
+            o_t.reshape(-1, 3), d_t.reshape(-1, 3),
+            accel.block_bounds, 1e-4,
+        )
+        hitm = np.asarray(hitm).reshape(s, g, strip, -1)
+        cand_np = np.asarray(cand)
+        c = np.asarray(counts)
+        for si in range(0, s, 3):
+            for j in range(g):
+                needed = set(np.nonzero(hitm[si, j].any(0))[0])
+                listed = set(cand_np[si, j, : c[si, j]])
+                assert needed <= listed
 
     def test_parked_rays_cull_to_nothing(self):
         scene = _terrain_scene(40)
@@ -174,18 +207,11 @@ class TestTwoLevelCull:
         o_t = jnp.full((2, 256, 3), PARK_POS, jnp.float32)
         d_t = jnp.full((2, 256, 3), PARK_DIR, jnp.float32)
         live = o_t[..., 0] < 1.0e7
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t, live)
-        mask1, near1 = pk.cull_blocks(
-            po, ro, axis, cos_g,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-        )
-        mask1 = mask1 & jnp.any(live, axis=1)[:, None]
-        cand, counts, *_ = pk.two_level_select(
-            mask1, near1, accel.block_bounds,
-            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
-            12, 16,
+        cand, counts, nearb, dropped = pk.strip_interval_select(
+            o_t, d_t, live, accel, 64, 16, 1e-4,
         )
         assert int(np.asarray(counts).sum()) == 0
+        assert (np.asarray(dropped) > 1e29).all()
 
     def test_capsule_cull_conservative(self, rng):
         """Every block a real shadow segment passes through must survive
@@ -221,11 +247,11 @@ class TestTwoLevelCull:
             assert not (touched & ~mask).any(), "capsule cull dropped a hit"
 
 
-class TestFullLadderInterpret:
-    """The COMPLETE packet ladder (pass-1 sweep + fori escalation +
-    exactness nets) through the real Pallas kernels in interpret mode —
-    CPU coverage of exactly the code path the TPU executes (round-2
-    lesson: XLA-fallback-only CPU coverage let kernel-path bugs ship).
+class TestFullPathInterpret:
+    """The COMPLETE packet path (strip-interval sweep + exactness nets)
+    through the real Pallas kernels in interpret mode — CPU coverage of
+    exactly the code path the TPU executes (round-2 lesson:
+    XLA-fallback-only CPU coverage let kernel-path bugs ship).
     SOLR_PALLAS_INTERPRET routes traverse._use_pallas onto the kernels.
     """
 
@@ -245,14 +271,13 @@ class TestFullLadderInterpret:
             if old:
                 os.environ["SOLR_PALLAS_INTERPRET"] = old
 
-    def test_kernel_ladder_matches_xla_ladder(self, tri_scene):
+    def test_kernel_path_matches_xla_path(self, tri_scene):
         cfg = st.RenderConfig(
             width=32, height=32, max_bounces=2, traversal="packet",
             packet_tile_w=16, packet_tile_h=16,
-            # Tiny caps force escalation passes AND the exactness net
+            # Tiny widths force certified drops AND the exactness net
             # through the kernels.
-            packet_max_blocks=4, packet_max_super=4,
-            packet_escalate_blocks=8,
+            packet_max_blocks=4, packet_tile_cand=8,
         )
         img_k, t_k = self._render(tri_scene, cfg, interpret=True)
         img_x, t_x = self._render(tri_scene, cfg, interpret=False)
@@ -270,8 +295,7 @@ class TestUnionNetOverflow:
         cfg_p = st.RenderConfig(
             width=32, height=32, max_bounces=2, traversal="packet",
             packet_tile_w=16, packet_tile_h=16,
-            packet_max_blocks=2, packet_max_super=2,
-            packet_escalate_blocks=2,  # tiny caps: nets engage hard
+            packet_max_blocks=2, packet_tile_cand=4,  # tiny: nets engage
         )
         cfg_w = st.RenderConfig(width=32, height=32, max_bounces=2,
                                 traversal="while")

@@ -1,8 +1,9 @@
-"""Pallas sweep kernels vs the XLA block path, in interpret mode
-(SURVEY.md section 5: interpret mode is the kernel "sanitizer").  The
-SAME kernels are additionally compiled and run on real hardware by
-tests/test_tpu_smoke.py — round 2 proved interpret-green != TPU-green,
-so CPU interpret coverage alone is no longer the gate."""
+"""Pallas strip-interval sweep kernels vs the XLA block path, in
+interpret mode (SURVEY.md section 5: interpret mode is the kernel
+"sanitizer").  The SAME kernels are additionally compiled and run on
+real hardware by tests/test_tpu_smoke.py — round 2 proved
+interpret-green != TPU-green, so CPU interpret coverage alone is no
+longer the gate."""
 
 import jax
 import jax.numpy as jnp
@@ -21,40 +22,66 @@ from solr_tpu.ops.pallas_kernels import (
 from scenes_fixtures import random_tri_field
 
 CAM = st.Camera.create(position=(0, 0, -6.0), fov=1.0)
-SB = 256  # 16x16 pixel sub-bundles
-K = 8
+SB = 256  # 16x16 pixel tiles
+KS = 8  # per-strip interval list width
+KT = 48  # tile prefilter width
+
+
+def _tile_rays(cfg=None):
+    cfg = cfg or st.RenderConfig(width=64, height=64)
+    o, d = camera_rays(CAM, cfg)
+    perm, _ = pk.tile_permutation(64, 64, 16, 16)
+    o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
+    d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
+    return o_t, d_t
+
+
+def _select(accel, o_t, d_t, tm_t=None, live=None):
+    if live is None:
+        live = jnp.ones(o_t.shape[:2], bool)
+    return pk.strip_interval_select(
+        o_t, d_t, live, accel, KT, KS, 1e-4, tm_t=tm_t
+    )
+
+
+def _xla_closest(accel, o_t, d_t, cand, counts, prim="tri"):
+    """XLA mirror at strip granularity (what traverse uses off-TPU)."""
+    s, g, k = cand.shape
+    ssb = o_t.shape[1] // g
+    bt, bi = pk.tri_blocks_closest(
+        accel.packed, o_t.reshape(-1, ssb, 3), d_t.reshape(-1, ssb, 3),
+        cand.reshape(-1, k), counts.reshape(-1), 1e-4, prim=prim,
+    )
+    return bt.reshape(s, -1), bi.reshape(s, -1)
+
+
+def _xla_trans(accel, o_t, d_t, tm_t, cand, counts, prim="tri"):
+    s, g, k = cand.shape
+    ssb = o_t.shape[1] // g
+    tr = pk.tri_blocks_transmittance(
+        accel.packed, o_t.reshape(-1, ssb, 3), d_t.reshape(-1, ssb, 3),
+        tm_t.reshape(-1, ssb), cand.reshape(-1, k),
+        counts.reshape(-1), 1e-4, prim=prim,
+    )
+    return tr.reshape(s, -1)
 
 
 @pytest.fixture(scope="module")
 def setup():
     scene = random_tri_field(1200).build(bvh_threshold=64)
     accel = scene.tri_accel
-    cfg = st.RenderConfig(width=64, height=64)
-    o, d = camera_rays(CAM, cfg)
-    perm, _ = pk.tile_permutation(64, 64, 16, 16)
-    o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
-    d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
-    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-    mask1, near1 = pk.cull_blocks(
-        po, ro, axis, cos_g, accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6]
-    )
-    cand, counts, near_sorted, near_bound, dropped, _dsup = \
-        pk.two_level_select(
-        mask1, near1, accel.block_bounds,
-        lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg), 8, K,
-    )
-    return accel, o_t, d_t, cand, counts, near_bound
+    o_t, d_t = _tile_rays()
+    cand, counts, nearb, dropped = _select(accel, o_t, d_t)
+    return accel, o_t, d_t, cand, counts, nearb
 
 
 class TestClosest:
-    def test_matches_xla_packet(self, setup):
-        accel, o_t, d_t, cand, counts, near_bound = setup
-        t_x, i_x = pk.tri_blocks_closest(
-            accel.packed, o_t, d_t, cand, counts, 1e-4
-        )
+    def test_matches_xla_strips(self, setup):
+        accel, o_t, d_t, cand, counts, nearb = setup
+        t_x, i_x = _xla_closest(accel, o_t, d_t, cand, counts)
         rays_t = make_rays16t(o_t, d_t)
         t_p, i_p, nv = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
             interpret=True,
         )
         np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x),
@@ -63,56 +90,162 @@ class TestClosest:
         np.testing.assert_array_equal(
             np.asarray(i_p)[hit], np.asarray(i_x)[hit]
         )
-        # Early-out must have skipped something on this front-to-back
-        # workload, and never visited more than the candidate count.
+        # Early-out must never visit more than the strip list totals.
         nv = np.asarray(nv)
-        assert (nv <= np.asarray(counts)).all()
+        assert (nv <= np.asarray(counts).sum(axis=1)).all()
 
     def test_early_out_does_not_change_result(self, setup):
         """Early termination must be conservative: compare against a run
-        where the near bounds are all zero (no skipping possible)."""
-        accel, o_t, d_t, cand, counts, near_bound = setup
+        where the entry bounds are all zero (no skipping possible)."""
+        accel, o_t, d_t, cand, counts, nearb = setup
         rays_t = make_rays16t(o_t, d_t)
-        t_e, _, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+        t_e, _, nv_e = sweep_closest(
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
             interpret=True,
         )
-        t_n, _, _ = sweep_closest(
+        t_n, _, nv_n = sweep_closest(
             accel.packed, rays_t, cand, counts,
-            jnp.zeros_like(near_bound), 1e-4, interpret=True,
+            jnp.zeros_like(nearb), 1e-4, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(t_e), np.asarray(t_n),
                                    rtol=1e-6)
+        assert np.asarray(nv_e).sum() <= np.asarray(nv_n).sum()
+
+    def test_early_out_skips_on_terrain(self):
+        """On an all-hit front-to-back workload (terrain from above)
+        the per-strip done bound must actually skip candidates."""
+        import numpy as _np
+
+        gw = 60
+        xs = _np.linspace(-8, 8, gw + 1, dtype=_np.float32)
+        zs = _np.linspace(2, 18, gw + 1, dtype=_np.float32)
+        xg, zg = _np.meshgrid(xs, zs)
+        yg = _np.sin(xg) * _np.cos(zg) - 2.0
+        verts = _np.stack([xg, yg, zg], -1).reshape(-1, 3)
+        idx = _np.arange((gw + 1) ** 2).reshape(gw + 1, gw + 1)
+        faces = _np.concatenate([
+            _np.stack([idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel(),
+                       idx[1:, 1:].ravel()], -1),
+            _np.stack([idx[:-1, :-1].ravel(), idx[1:, 1:].ravel(),
+                       idx[1:, :-1].ravel()], -1),
+        ])
+        b = st.SceneBuilder()
+        m = b.add_material(color=(0.5, 0.5, 0.5, 1.0))
+        b.add_mesh(verts, faces, m)
+        b.add_light((0, 5, 5))
+        scene = b.build(bvh_threshold=64)
+        accel = scene.tri_accel
+        cam = st.Camera.create(position=(0.0, 8.0, 10.0),
+                               angles=(1.35, 0.0, 0.0), fov=1.0)
+        cfg = st.RenderConfig(width=64, height=64)
+        o, d = camera_rays(cam, cfg)
+        perm, _ = pk.tile_permutation(64, 64, 16, 16)
+        o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
+        d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
+        cand, counts, nearb, _ = _select(accel, o_t, d_t)
+        rays_t = make_rays16t(o_t, d_t)
+        _, _, nv_e = sweep_closest(
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
+            interpret=True,
+        )
+        _, _, nv_n = sweep_closest(
+            accel.packed, rays_t, cand, counts,
+            jnp.zeros_like(nearb), 1e-4, interpret=True,
+        )
+        assert np.asarray(nv_e).sum() < np.asarray(nv_n).sum()
 
     def test_chunked_matches_unchunked(self, setup):
         """The lax.map tile chunking (SMEM guard) must be invisible."""
-        accel, o_t, d_t, cand, counts, near_bound = setup
+        accel, o_t, d_t, cand, counts, nearb = setup
         rays_t = make_rays16t(o_t, d_t)
         t_1, i_1, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
             interpret=True,
         )
         t_c, i_c, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
-            interpret=True, chunk=3,  # forces padding + 6 chunks of 16
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
+            interpret=True, chunk=4,  # forces padding + chunks of 4
         )
         np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_1),
                                    rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_1))
 
-    def test_parked_rays_excluded_from_cutoff(self, setup):
-        """A tile of parked rays (live=0) must not stall the early-out:
-        live flags come from rays_t row 9."""
-        accel, o_t, d_t, cand, counts, near_bound = setup
-        live = jnp.zeros(o_t.shape[:2], jnp.float32)  # all parked
-        rays_t = make_rays16t(o_t, d_t, live_t=live)
+    def test_parked_rays_cost_nothing(self, setup):
+        """Parked tiles (live=0) select zero candidates and the kernel
+        never runs a strip for them."""
+        accel, o_t, d_t, *_ = setup
+        live = jnp.zeros(o_t.shape[:2], bool)
+        cand, counts, nearb, _ = _select(accel, o_t, d_t, live=live)
+        assert int(np.asarray(counts).sum()) == 0
+        rays_t = make_rays16t(
+            o_t, d_t, live_t=jnp.zeros(o_t.shape[:2], jnp.float32)
+        )
         t_p, i_p, nv = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
             interpret=True,
         )
-        # cutoff = max over live = 0 -> every candidate skipped.
         assert int(np.asarray(nv).sum()) == 0
         assert (np.asarray(i_p) == -1).all()
+
+    def test_strip_lists_conservative(self, setup):
+        """Exactness of selection: the strip sweep over the per-strip
+        interval lists must find the same closest hit as sweeping ALL
+        blocks (the lists may only drop blocks a strip ray cannot
+        hit, or certify the drop)."""
+        accel, o_t, d_t, cand, counts, nearb = setup
+        nb = accel.packed.shape[0]
+        s = o_t.shape[0]
+        allcand = jnp.broadcast_to(
+            jnp.arange(nb, dtype=jnp.int32)[None], (s, nb)
+        )
+        allcounts = jnp.full((s,), nb, jnp.int32)
+        t_all, i_all = pk.tri_blocks_closest(
+            accel.packed, o_t, d_t, allcand, allcounts, 1e-4
+        )
+        t_sel, i_sel = _xla_closest(accel, o_t, d_t, cand, counts)
+        # dropped certificate is +FAR on this small scene: exact.
+        _, _, _, dropped = _select(accel, o_t, d_t)
+        assert (np.asarray(dropped) > 1e29).all()
+        np.testing.assert_allclose(np.asarray(t_sel), np.asarray(t_all),
+                                   rtol=1e-6)
+        hit = np.asarray(t_all) < 1e30
+        np.testing.assert_array_equal(
+            np.asarray(i_sel)[hit], np.asarray(i_all)[hit]
+        )
+
+
+class TestSelection:
+    def test_lists_sorted_and_unique(self, setup):
+        accel, o_t, d_t, cand, counts, nearb = setup
+        c = np.asarray(counts)
+        cand_np = np.asarray(cand)
+        nb_np = np.asarray(nearb)
+        s, g, k = cand_np.shape
+        for si in range(0, s, 5):
+            for j in range(g):
+                n = int(c[si, j])
+                v = cand_np[si, j, :n]
+                # Distinct (transmittance multiplies per occurrence —
+                # duplicates would double-attenuate).
+                assert len(np.unique(v)) == len(v)
+                # Entry bounds ascending (front-to-back early-out
+                # contract) and +FAR past the count.
+                assert (np.diff(nb_np[si, j, :n]) >= -1e-6).all()
+                assert (nb_np[si, j, n:] > 1e29).all()
+
+    def test_shadow_lists_clip_at_light(self):
+        """A block strictly beyond every ray's light distance must not
+        appear in the shadow lists."""
+        scene = random_tri_field(800).build(bvh_threshold=64)
+        accel = scene.tri_accel
+        o_t, d_t = _tile_rays()
+        tm_t = jnp.full(o_t.shape[:2], 0.5, jnp.float32)  # very short
+        cand, counts, _, _ = _select(accel, o_t, d_t, tm_t=tm_t)
+        cand_far, counts_far, _, _ = _select(
+            accel, o_t, d_t, tm_t=jnp.full(o_t.shape[:2], 1e4,
+                                           jnp.float32)
+        )
+        assert np.asarray(counts).sum() < np.asarray(counts_far).sum()
 
 
 class TestSphereSweep:
@@ -125,30 +258,17 @@ class TestSphereSweep:
         scene = random_sphere_field(900).build(bvh_threshold=64)
         accel = scene.sph_accel
         assert accel is not None
-        cfg = st.RenderConfig(width=64, height=64)
-        o, d = camera_rays(CAM, cfg)
-        perm, _ = pk.tile_permutation(64, 64, 16, 16)
-        o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
-        d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask1, near1 = pk.cull_blocks(
-            po, ro, axis, cos_g,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-        )
-        cand, counts, _ns, near_bound, _d, _ds = pk.two_level_select(
-            mask1, near1, accel.block_bounds,
-            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg), 8, K,
-        )
-        return accel, o_t, d_t, cand, counts, near_bound
+        o_t, d_t = _tile_rays()
+        cand, counts, nearb, _ = _select(accel, o_t, d_t)
+        return accel, o_t, d_t, cand, counts, nearb
 
     def test_closest_matches_xla(self, sph_setup):
-        accel, o_t, d_t, cand, counts, near_bound = sph_setup
-        t_x, i_x = pk.tri_blocks_closest(
-            accel.packed, o_t, d_t, cand, counts, 1e-4, prim="sphere"
-        )
+        accel, o_t, d_t, cand, counts, nearb = sph_setup
+        t_x, i_x = _xla_closest(accel, o_t, d_t, cand, counts,
+                                prim="sphere")
         rays_t = make_rays16t(o_t, d_t)
         t_p, i_p, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
             interpret=True, prim="sphere",
         )
         t_x, t_p = np.asarray(t_x), np.asarray(t_p)
@@ -160,12 +280,10 @@ class TestSphereSweep:
         )
 
     def test_transmittance_matches_xla(self, sph_setup):
-        accel, o_t, d_t, cand, counts, near_bound = sph_setup
+        accel, o_t, d_t, cand, counts, nearb = sph_setup
         t_max = jnp.full(o_t.shape[:2], 40.0, jnp.float32)
-        tr_x = pk.tri_blocks_transmittance(
-            accel.packed, o_t, d_t, t_max, cand, counts, 1e-4,
-            prim="sphere",
-        )
+        tr_x = _xla_trans(accel, o_t, d_t, t_max, cand, counts,
+                          prim="sphere")
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
         tr_p, _ = sweep_transmittance(
             accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
@@ -205,12 +323,11 @@ class TestSphereSweep:
 
 
 class TestTransmittance:
-    def test_matches_xla_packet(self, setup):
-        accel, o_t, d_t, cand, counts, near_bound = setup
+    def test_matches_xla_strips(self, setup):
+        accel, o_t, d_t, *_ = setup
         t_max = jnp.full(o_t.shape[:2], 50.0, jnp.float32)
-        tr_x = pk.tri_blocks_transmittance(
-            accel.packed, o_t, d_t, t_max, cand, counts, 1e-4
-        )
+        cand, counts, nearb, _ = _select(accel, o_t, d_t, tm_t=t_max)
+        tr_x = _xla_trans(accel, o_t, d_t, t_max, cand, counts)
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
         tr_p, _ = sweep_transmittance(
             accel.packed, rays_t, cand, counts, 1e-4, interpret=True
@@ -218,79 +335,18 @@ class TestTransmittance:
         np.testing.assert_allclose(np.asarray(tr_p), np.asarray(tr_x),
                                    rtol=1e-6)
 
-
-class TestSubBundleMasking:
-    """Sub-bundle masking (round-4 compute lever) must be invisible in
-    results: the per-sub-bundle cull is conservative, so the masked
-    sweep returns bit-identical hits/transmittance vs the whole-tile
-    sweep, while skipping work for strips that cannot hit a block."""
-
-    def test_closest_matches_unmasked(self, setup):
-        accel, o_t, d_t, cand, counts, near_bound = setup
-        live = jnp.ones(o_t.shape[:2], bool)
-        g = 8
-        bits = pk.subbundle_bits(
-            o_t, d_t, live, cand, accel.block_bounds, g
-        )
-        rays_t = make_rays16t(o_t, d_t)
-        t_m, i_m, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
-            interpret=True, submask=bits, sub_g=g,
-        )
-        t_u, i_u, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
-            interpret=True,
-        )
-        np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_u),
-                                   rtol=1e-6)
-        hit = np.asarray(t_u) < 1e30
-        np.testing.assert_array_equal(
-            np.asarray(i_m)[hit], np.asarray(i_u)[hit]
-        )
-        # The mask must actually clear some bits on this workload.
-        full = (1 << g) - 1
-        assert (np.asarray(bits) != full).any()
-
-    def test_transmittance_matches_unmasked(self, setup):
-        accel, o_t, d_t, cand, counts, near_bound = setup
+    def test_extinguished_strips_stop(self, setup):
+        """Fully-occluded strips must stop visiting candidates (lit
+        early-out) without changing the result."""
+        accel, o_t, d_t, *_ = setup
         t_max = jnp.full(o_t.shape[:2], 50.0, jnp.float32)
-        live = jnp.ones(o_t.shape[:2], bool)
-        g = 8
-        bits = pk.subbundle_bits_capsule(
-            o_t, d_t, t_max, live, cand, accel.block_bounds, g
-        )
+        cand, counts, nearb, _ = _select(accel, o_t, d_t, tm_t=t_max)
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
-        tr_m, _ = sweep_transmittance(
-            accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
-            submask=bits, sub_g=g,
+        tr, nv = sweep_transmittance(
+            accel.packed, rays_t, cand, counts, 1e-4, interpret=True
         )
-        tr_u, _ = sweep_transmittance(
-            accel.packed, rays_t, cand, counts, 1e-4, interpret=True,
-        )
-        np.testing.assert_allclose(np.asarray(tr_m), np.asarray(tr_u),
-                                   rtol=1e-6)
-
-    def test_bits_conservative_vs_bruteforce(self, setup):
-        """Every real hit must come from a block whose sub-bundle bit
-        is set: intersect every candidate block with every ray and
-        check hits only occur where the bit allows them."""
-        accel, o_t, d_t, cand, counts, near_bound = setup
-        live = jnp.ones(o_t.shape[:2], bool)
-        g = 8
-        ssb = o_t.shape[1] // g
-        bits = np.asarray(pk.subbundle_bits(
-            o_t, d_t, live, cand, accel.block_bounds, g
-        ))
-        counts_np = np.asarray(counts)
-        s_check = min(8, o_t.shape[0])
-        for s in range(s_check):
-            for k in range(int(counts_np[s])):
-                w = accel.packed[cand[s, k]][None]
-                t = pk._woop_t(o_t[s:s + 1], d_t[s:s + 1], w, 1e-4)
-                t = np.asarray(t)[0]  # (SB, BLOCK)
-                hit_sub = (t < 1e30).any(axis=1).reshape(g, ssb).any(1)
-                allowed = (bits[s, k] >> np.arange(g)) & 1
-                assert not (hit_sub & (allowed == 0)).any()
+        # On an opaque random field many strips extinguish early.
+        assert np.asarray(nv).sum() <= np.asarray(counts).sum()
 
 
 class TestCylinderSweep:
@@ -304,30 +360,17 @@ class TestCylinderSweep:
         scene = random_cylinder_field(700).build(bvh_threshold=64)
         accel = scene.cyl_accel
         assert accel is not None
-        cfg = st.RenderConfig(width=64, height=64)
-        o, d = camera_rays(CAM, cfg)
-        perm, _ = pk.tile_permutation(64, 64, 16, 16)
-        o_t = o[perm].reshape(-1, SB, 3).astype(jnp.float32)
-        d_t = d[perm].reshape(-1, SB, 3).astype(jnp.float32)
-        po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-        mask1, near1 = pk.cull_blocks(
-            po, ro, axis, cos_g,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-        )
-        cand, counts, _ns, near_bound, _d, _ds = pk.two_level_select(
-            mask1, near1, accel.block_bounds,
-            lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg), 8, K,
-        )
-        return scene, accel, o_t, d_t, cand, counts, near_bound
+        o_t, d_t = _tile_rays()
+        cand, counts, nearb, _ = _select(accel, o_t, d_t)
+        return scene, accel, o_t, d_t, cand, counts, nearb
 
     def test_closest_matches_xla(self, cyl_setup):
-        scene, accel, o_t, d_t, cand, counts, near_bound = cyl_setup
-        t_x, i_x = pk.tri_blocks_closest(
-            accel.packed, o_t, d_t, cand, counts, 1e-4, prim="cyl"
-        )
+        scene, accel, o_t, d_t, cand, counts, nearb = cyl_setup
+        t_x, i_x = _xla_closest(accel, o_t, d_t, cand, counts,
+                                prim="cyl")
         rays_t = make_rays16t(o_t, d_t)
         t_p, i_p, _ = sweep_closest(
-            accel.packed, rays_t, cand, counts, near_bound, 1e-4,
+            accel.packed, rays_t, cand, counts, nearb, 1e-4,
             interpret=True, prim="cyl",
         )
         t_x, t_p = np.asarray(t_x), np.asarray(t_p)
@@ -370,11 +413,11 @@ class TestCylinderSweep:
         np.testing.assert_allclose(t_blk[both], t_ref[both], rtol=5e-4)
 
     def test_transmittance_matches_xla(self, cyl_setup):
-        scene, accel, o_t, d_t, cand, counts, near_bound = cyl_setup
+        scene, accel, o_t, d_t, *_ = cyl_setup
         t_max = jnp.full(o_t.shape[:2], 40.0, jnp.float32)
-        tr_x = pk.tri_blocks_transmittance(
-            accel.packed, o_t, d_t, t_max, cand, counts, 1e-4, prim="cyl"
-        )
+        cand, counts, nearb, _ = _select(accel, o_t, d_t, tm_t=t_max)
+        tr_x = _xla_trans(accel, o_t, d_t, t_max, cand, counts,
+                          prim="cyl")
         rays_t = make_rays16t(o_t, d_t, tmax_t=t_max)
         tr_p, _ = sweep_transmittance(
             accel.packed, rays_t, cand, counts, 1e-4, interpret=True,

@@ -64,44 +64,52 @@ def test_sweep_kernels_compile_and_match_xla(terrain):
     o_t = o[perm].reshape(-1, cfg.packet_rays, 3)
     d_t = d[perm].reshape(-1, cfg.packet_rays, 3)
     accel = scene.tri_accel
-    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-    mask1, near1 = pk.cull_blocks(
-        po, ro, axis, cos_g,
-        accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-    )
-    cand, counts, _n, near_bound, _drop, _dsup = pk.two_level_select(
-        mask1, near1, accel.block_bounds,
-        lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
-        cfg.packet_max_super, cfg.packet_max_blocks,
+    live = jnp.ones(o_t.shape[:2], bool)
+    cand, counts, nearb, _drop = pk.strip_interval_select(
+        o_t, d_t, live, accel, cfg.packet_tile_cand,
+        cfg.packet_max_blocks, 1e-4,
     )
     rays_t = make_rays16t(o_t, d_t)
 
+    g = cand.shape[1]
+    ssb = cfg.packet_rays // g
+    o_s = o_t.reshape(-1, ssb, 3)
+    d_s = d_t.reshape(-1, ssb, 3)
+    k_eff = cand.shape[2]
+
     t_p, i_p, nv = jax.jit(
         lambda *a: sweep_closest(*a, 1e-4)
-    )(accel.packed, rays_t, cand, counts, near_bound)
+    )(accel.packed, rays_t, cand, counts, nearb)
     t_x, i_x = jax.jit(
         lambda *a: pk.tri_blocks_closest(*a, 1e-4)
-    )(accel.packed, o_t, d_t, cand, counts)
-    t_p, t_x = np.asarray(t_p), np.asarray(t_x)
+    )(accel.packed, o_s, d_s, cand.reshape(-1, k_eff),
+      counts.reshape(-1))
+    t_p = np.asarray(t_p)
+    t_x = np.asarray(t_x).reshape(t_p.shape)
     hit = t_x < 1e30
-    # Pass-1-only sweep (no escalation here): coverage depends on the
-    # bench's default caps — the smoke's contract is PATH EQUALITY, so
-    # only require enough hits for the comparison to be meaningful.
+    # The smoke's contract is PATH EQUALITY; require enough hits for
+    # the comparison to be meaningful.
     assert hit.mean() > 0.25
     np.testing.assert_allclose(t_p[hit], t_x[hit], rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(i_p)[hit], np.asarray(i_x)[hit])
-    assert (np.asarray(nv) <= np.asarray(counts)).all()
+    i_x = np.asarray(i_x).reshape(t_p.shape)
+    np.testing.assert_array_equal(np.asarray(i_p)[hit], i_x[hit])
+    assert (np.asarray(nv) <= np.asarray(counts).sum(1)).all()
 
     t_max = jnp.full(o_t.shape[:2], 50.0, jnp.float32)
+    cand_s, counts_s, _nb, _d = pk.strip_interval_select(
+        o_t, d_t, live, accel, cfg.packet_tile_cand,
+        cfg.packet_max_blocks, 1e-4, tm_t=t_max,
+    )
     rays_ts = make_rays16t(o_t, d_t, tmax_t=t_max)
     tr_p, _ = jax.jit(
         lambda *a: sweep_transmittance(*a, 1e-4)
-    )(accel.packed, rays_ts, cand, counts)
+    )(accel.packed, rays_ts, cand_s, counts_s)
     tr_x = jax.jit(
         lambda *a: pk.tri_blocks_transmittance(*a, 1e-4)
-    )(accel.packed, o_t, d_t, t_max, cand, counts)
+    )(accel.packed, o_s, d_s, t_max.reshape(-1, ssb),
+      cand_s.reshape(-1, cand_s.shape[2]), counts_s.reshape(-1))
     np.testing.assert_allclose(
-        np.asarray(tr_p), np.asarray(tr_x), atol=1e-5
+        np.asarray(tr_p), np.asarray(tr_x).reshape(t_p.shape), atol=1e-5
     )
 
 
@@ -121,24 +129,19 @@ def test_chunked_sweep_matches_single_call(terrain):
     o_t = o[perm].reshape(-1, cfg.packet_rays, 3)
     d_t = d[perm].reshape(-1, cfg.packet_rays, 3)
     accel = scene.tri_accel
-    po, ro, axis, cos_g = pk.make_bundles(o_t, d_t)
-    mask1, near1 = pk.cull_blocks(
-        po, ro, axis, cos_g,
-        accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
-    )
-    cand, counts, _n, near_bound, _drop, _dsup = pk.two_level_select(
-        mask1, near1, accel.block_bounds,
-        lambda bbg: pk.cull_blocks_g(po, ro, axis, cos_g, bbg),
-        cfg.packet_max_super, cfg.packet_max_blocks,
+    live = jnp.ones(o_t.shape[:2], bool)
+    cand, counts, nearb, _drop = pk.strip_interval_select(
+        o_t, d_t, live, accel, cfg.packet_tile_cand,
+        cfg.packet_max_blocks, 1e-4,
     )
     rays_t = make_rays16t(o_t, d_t)
     assert o_t.shape[0] > 24  # the chunked path must actually engage
     t_c, i_c, _ = jax.jit(
         lambda *a: sweep_closest(*a, 1e-4, chunk=24)
-    )(accel.packed, rays_t, cand, counts, near_bound)
+    )(accel.packed, rays_t, cand, counts, nearb)
     t_1, i_1, _ = jax.jit(
         lambda *a: sweep_closest(*a, 1e-4)
-    )(accel.packed, rays_t, cand, counts, near_bound)
+    )(accel.packed, rays_t, cand, counts, nearb)
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_1))
     np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_1))
 

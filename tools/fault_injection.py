@@ -16,8 +16,9 @@ The supervisor:
      BIT-IDENTICAL to an uninterrupted reference render.
 
 Run standalone:   python tools/fault_injection.py
-As a harness check it is invoked by bench_scaling.py (--fault flag /
-SOLR_SCALING_FAULT=1) and by tests/test_fault_injection.py.
+As a harness check it runs UNCONDITIONALLY inside bench_scaling.py
+(opt out with SOLR_SCALING_NO_FAULT=1) and in
+tests/test_fault_injection.py.
 
 Exit code 0 and one JSON line on success.
 """

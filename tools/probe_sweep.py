@@ -1,15 +1,20 @@
 #!/usr/bin/env python
 """Standalone sweep-kernel probe: compile + runtime at bench-like
-shapes, parameterized over the tuning axes (sub-bundle count G, tile
-chunk S, candidate cap K, rays/tile SB), WITHOUT building a scene.
+shapes, parameterized over the tuning axes (strips/tile G, tiles S,
+per-strip candidate width K, rays/tile SB, block size), WITHOUT
+building a scene.
 
 Used to answer, per hardware generation, the questions the bench can't
-isolate: what does one grid step cost, what does sub-bundle masking
-save at a given mask density, and how long does the kernel compile
-cold.  Results feed DEBUGGING.md.
+isolate: what does one grid step cost with N strips running, what does
+the per-strip early-out save at a given list-length distribution, and
+how long does the kernel compile cold.  Results feed DEBUGGING.md /
+PERF.md.
 
-    python tools/probe_sweep.py --g 1 --k 32
-    python tools/probe_sweep.py --g 8 --k 32 --density 0.3
+    python tools/probe_sweep.py --g 8 --k 64 --run-frac 1.0
+    python tools/probe_sweep.py --g 8 --k 64 --run-frac 0.2
+
+``--run-frac`` sets the fraction of (strip, k) slots that actually run
+(via per-strip counts), emulating the measured list-length spread.
 
 Prints one JSON line per run.
 """
@@ -33,13 +38,15 @@ import numpy as np  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--g", type=int, default=1, help="sub-bundles/tile")
+    ap.add_argument("--g", type=int, default=8, help="strips/tile")
     ap.add_argument("--s", type=int, default=256, help="tiles")
     ap.add_argument("--sb", type=int, default=256, help="rays/tile")
-    ap.add_argument("--k", type=int, default=32, help="candidates/tile")
+    ap.add_argument("--k", type=int, default=64,
+                    help="per-strip candidate width")
     ap.add_argument("--nb", type=int, default=512, help="total blocks")
-    ap.add_argument("--density", type=float, default=1.0,
-                    help="fraction of sub-bundle bits set")
+    ap.add_argument("--block", type=int, default=512, help="prims/block")
+    ap.add_argument("--run-frac", type=float, default=1.0,
+                    help="fraction of (strip, k) slots that run")
     ap.add_argument("--kernel", default="closest",
                     choices=["closest", "trans"])
     ap.add_argument("--repeats", type=int, default=5)
@@ -51,33 +58,30 @@ def main():
 
     rng = np.random.default_rng(0)
     packed = jnp.asarray(
-        rng.normal(size=(args.nb, 16, 256)).astype(np.float32)
+        rng.normal(size=(args.nb, 16, args.block)).astype(np.float32)
     )
     o = jnp.asarray(rng.normal(size=(args.s, args.sb, 3)).astype(np.float32))
     d = jnp.asarray(rng.normal(size=(args.s, args.sb, 3)).astype(np.float32))
     rays = make_rays16t(o, d)
+    g = args.g
     cand = jnp.asarray(
-        rng.integers(0, args.nb, (args.s, args.k)).astype(np.int32)
+        rng.integers(0, args.nb, (args.s, g, args.k)).astype(np.int32)
     )
-    counts = jnp.full((args.s,), args.k, jnp.int32)
-    nearb = jnp.zeros((args.s, args.k + 1), jnp.float32)
-    if args.g > 1:
-        bits_np = (
-            rng.uniform(size=(args.s, args.k, args.g)) < args.density
-        ).astype(np.int32)
-        sub = jnp.asarray(
-            (bits_np << np.arange(args.g)).sum(-1).astype(np.int32)
-        )
-    else:
-        sub = None
+    counts = jnp.full(
+        (args.s, g), max(1, int(round(args.k * args.run_frac))), jnp.int32
+    )
+    # Zero entry bounds: the early-out never fires (worst case) — the
+    # probe measures the cost of RUNNING steps; run-frac models the
+    # list-length distribution instead.
+    nearb = jnp.zeros((args.s, g, args.k), jnp.float32)
 
     if args.kernel == "closest":
         fn = jax.jit(lambda r, c, n, nb: sweep_closest(
-            packed, r, c, n, nb, 1e-4, submask=sub, sub_g=args.g
+            packed, r, c, n, nb, 1e-4
         )[0])
     else:
         fn = jax.jit(lambda r, c, n, nb: sweep_transmittance(
-            packed, r, c, n, 1e-4, submask=sub, sub_g=args.g
+            packed, r, c, n, 1e-4
         )[0])
 
     t0 = time.time()
@@ -90,12 +94,14 @@ def main():
         float(np.asarray(fn(rays, cand, counts, nearb).sum()))
         best = min(best, time.time() - t0)
     steps = args.s * args.k
+    strip_runs = int(np.asarray(counts).sum())
     print(json.dumps({
-        "kernel": args.kernel, "g": args.g, "s": args.s, "sb": args.sb,
-        "k": args.k, "density": args.density,
+        "kernel": args.kernel, "g": g, "s": args.s, "sb": args.sb,
+        "k": args.k, "block": args.block, "run_frac": args.run_frac,
         "compile_s": round(compile_s, 1),
         "run_ms": round(best * 1000, 2),
         "us_per_step": round(best / steps * 1e6, 3),
+        "us_per_strip_run": round(best / max(strip_runs, 1) * 1e6, 3),
         "device": str(jax.devices()[0]),
     }))
 
