@@ -238,6 +238,62 @@ def packet_diagnostics(scene, cam, cfg):
     }
 
 
+def bytes_by_phase(scene, cam, cfg):
+    """XLA cost-analysis bytes_accessed per traversal phase (VERDICT
+    r04 missing #2: the byte diet needs the budget itemized by the
+    bench itself, not a one-off tool).  Pallas custom calls report
+    their operand bytes; the XLA select/shade glue is the remainder vs
+    the frame roofline."""
+    import jax.numpy as jnp
+
+    from solr_tpu.constants import RAY_EPS
+    from solr_tpu.ops import packet as pk
+    from solr_tpu.ops.camera import camera_rays
+    from solr_tpu.ops.traverse import (
+        _tri_packet_closest, _tri_packet_transmittance,
+    )
+    from solr_tpu.utils.profiling import cost_summary
+
+    accel = scene.tri_accel
+    sb = cfg.packet_rays
+    spec = cfg.packet_spec()
+    o, d = camera_rays(cam, cfg)
+    perm, _ = pk.tile_permutation(
+        cfg.width, cfg.height, cfg.packet_tile_w, cfg.packet_tile_h
+    )
+    o_p, d_p = o[perm], d[perm]
+    o_t = o_p.reshape(-1, sb, 3)
+    d_t = d_p.reshape(-1, sb, 3)
+    live = jnp.ones(o_t.shape[:2], bool)
+
+    def select(o_t, d_t):
+        return pk.strip_interval_select(
+            o_t, d_t, live, accel, cfg.packet_tile_cand,
+            cfg.packet_max_blocks, RAY_EPS,
+        )[0]
+
+    def closest(o_p, d_p):
+        return _tri_packet_closest(scene, o_p, d_p, RAY_EPS, spec)[0]
+
+    lpos = scene.lights.position[0]
+
+    def shadow(o_p, d_p):
+        to_l = lpos[None, :] - o_p
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12))
+        return _tri_packet_transmittance(
+            scene, o_p, to_l / dist[:, None], dist - RAY_EPS, RAY_EPS,
+            spec,
+        )
+
+    out = {}
+    for name, fn in (("select", select), ("closest", closest),
+                     ("shadow", shadow)):
+        c = cost_summary(fn, o_p if name != "select" else o_t,
+                         d_p if name != "select" else d_t)
+        out[name] = round(c["bytes_accessed"] / 1e9, 3)
+    return out
+
+
 def _run(n_tris, metrics):
     """Returns the result dict, or raises on device failure."""
     global N_TRIS
@@ -318,6 +374,14 @@ def _run(n_tris, metrics):
         }
     except Exception as e:  # pragma: no cover
         result["roofline"] = {"error": str(e)[:120]}
+    try:
+        if slow_day:
+            raise RuntimeError(
+                f"skipped: frame compile took {compile_s:.0f}s"
+            )
+        result["bytes_by_phase_gb"] = bytes_by_phase(scene, cam, cfg)
+    except Exception as e:  # pragma: no cover
+        result["bytes_by_phase_gb"] = {"error": str(e)[:120]}
     try:
         if slow_day:
             raise RuntimeError(

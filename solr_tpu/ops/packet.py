@@ -56,7 +56,6 @@ from solr_tpu.ops.vecmath import cross, dot, normalize
 __all__ = [
     "BLOCK",
     "STRIP",
-    "SUPER",
     "sphere_pack",
     "build_sph_accel",
     "cylinder_pack",
@@ -85,13 +84,6 @@ import os as _os
 
 BLOCK = int(_os.environ.get("SOLR_PACKET_BLOCK", "256"))
 
-# Blocks per super-block.  The super level no longer participates in
-# candidate selection (the round-5 strip-interval path culls the dense
-# block list directly — at 1M tris / BLOCK=512 that is a (tiles, 2048)
-# matrix, one vector op); it survives only as the accel's coarse bounds
-# used by the exactness-net's scene box and a few diagnostics.
-SUPER = int(_os.environ.get("SOLR_PACKET_SUPER", "32"))
-
 # Rays per strip: the granularity of the per-strip interval lists (two
 # pixel rows of a 16-wide tile).  A lane-register row (VPU sublane
 # granularity is 8; 32 keeps the (STRIP, BLOCK) Woop matrix a clean
@@ -102,6 +94,10 @@ SUPER = int(_os.environ.get("SOLR_PACKET_SUPER", "32"))
 STRIP = int(_os.environ.get("SOLR_PACKET_STRIP", "32"))
 
 _BIG = 1.0e30
+
+# Tiles per strip_interval_select lax.map chunk (memory guard for the
+# (chunk, SB, Kt) per-ray slab matrices at 1080p+ frames).
+_SEL_CHUNK = int(_os.environ.get("SOLR_PACKET_SEL_CHUNK", "2048"))
 
 
 def strips_per_tile(tile_rays: int) -> int:
@@ -447,8 +443,36 @@ def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
     Returns (cand (S, G, K) int32, counts (S, G) int32,
     nearb (S, G, K) ascending entry bounds (+FAR past counts),
     dropped (S, G)).
+
+    Large frames chunk the tile axis through lax.map (one compile):
+    the per-ray slab matrices are (chunk, SB, Kt) — at 1080p stereo
+    (8100 tiles) the unchunked form would materialize ~2.4 GB per
+    intermediate; chunks of ``_SEL_CHUNK`` keep the peak ~300 MB while
+    the outputs (S, G, K) stay small.
     """
-    s_tiles, sb, _ = o_t.shape
+    s_tiles = o_t.shape[0]
+    if s_tiles > _SEL_CHUNK:
+        pad = (-s_tiles) % _SEL_CHUNK
+        def p0(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) \
+                if pad else a
+        n = (s_tiles + pad) // _SEL_CHUNK
+        def re(a):
+            return p0(a).reshape((n, _SEL_CHUNK) + a.shape[1:])
+        args = (re(o_t), re(d_t), re(live)) + (
+            (re(tm_t),) if tm_t is not None else ()
+        )
+        def one(xs):
+            tm = xs[3] if tm_t is not None else None
+            return strip_interval_select(
+                xs[0], xs[1], xs[2], accel, kt, ks, t_min, tm_t=tm
+            )
+        outs = jax.lax.map(one, args)
+        return tuple(
+            o.reshape((n * _SEL_CHUNK,) + o.shape[2:])[:s_tiles]
+            for o in outs
+        )
+    sb = o_t.shape[1]
     g = strips_per_tile(sb)
     bb = accel.block_bounds
     nb = bb.shape[0]
@@ -694,15 +718,13 @@ def build_cyl_accel(cylinders, materials):
 
 
 def _group_blocks(packed, centers, half):
-    """Shared tail of build_*_accel: pad to the SUPER/128 alignment and
-    derive block + super-block bound arrays."""
+    """Shared tail of build_*_accel: pad the block list to the 128-lane
+    alignment and derive the block bound rows (padding blocks park at
+    +BIG so every cull rejects them)."""
     from solr_tpu.types import TriAccel
 
     b = packed.shape[0]
-    import math
-
-    align = SUPER * 128 // math.gcd(SUPER, 128)
-    bp = ((b + align - 1) // align) * align
+    bp = ((b + 127) // 128) * 128
     if bp > b:
         packed = jnp.pad(packed, ((0, bp - b), (0, 0), (0, 0)))
         centers = jnp.concatenate(
@@ -713,23 +735,10 @@ def _group_blocks(packed, centers, half):
         )
     zeros2 = jnp.zeros((bp, 2), centers.dtype)
     block_bounds = jnp.concatenate([centers, half, zeros2], axis=-1)
-
-    real = centers[:, 0] < _BIG * 0.5
-    bmin = jnp.where(real[:, None], centers - half, _BIG)
-    bmax = jnp.where(real[:, None], centers + half, -_BIG)
-    smin = bmin.reshape(bp // SUPER, SUPER, 3).min(axis=1)
-    smax = bmax.reshape(bp // SUPER, SUPER, 3).max(axis=1)
-    empty = smax[:, 0] < smin[:, 0]
-    sc = jnp.where(empty[:, None], _BIG, 0.5 * (smin + smax))
-    sh = jnp.where(empty[:, None], 0.0, 0.5 * (smax - smin))
-    zeros2s = jnp.zeros((sc.shape[0], 2), centers.dtype)
-    sb_bounds = jnp.concatenate([sc, sh, zeros2s], axis=-1)
     return TriAccel(
         packed=packed,
         block_bounds=block_bounds,
-        sb_bounds=sb_bounds,
         block=BLOCK,
-        super=SUPER,
     )
 
 
@@ -763,10 +772,9 @@ def build_tri_accel(triangles, materials):
         materials.transparency[tri_m],
     )
     packed, centers, half = block_pack(triangles, factor)
-    # _group_blocks pads the block count to a multiple of both SUPER
-    # (coarse bounds) and 128 (lane alignment); padding blocks park at
-    # +BIG so every cull rejects them, and their packed slabs are zero
-    # (never hit).
+    # _group_blocks pads the block count to the 128-lane alignment;
+    # padding blocks park at +BIG so every cull rejects them, and their
+    # packed slabs are zero (never hit).
     return _group_blocks(packed, centers, half)
 
 

@@ -472,19 +472,20 @@ class BVH:
 
 @pytree_dataclass
 class TriAccel:
-    """Precomputed triangle-traversal accelerator for the packet path
-    (solr_tpu.ops.packet): per-BLOCK Woop transforms + shadow factors,
-    block AABBs, and SUPER-grouped super-block AABBs.  The analog of the
-    reference's compactBoxes output (GPUKernel.cpp): built once per scene
-    mutation, consumed every frame — round 1 recomputed all of this per
+    """Precomputed primitive-pool traversal accelerator for the packet
+    path (solr_tpu.ops.packet): per-BLOCK packed intersection rows +
+    shadow factors and block AABBs.  The analog of the reference's
+    compactBoxes output (GPUKernel.cpp): built once per scene mutation,
+    consumed every frame — round 1 recomputed all of this per
     traversal, which dominated the frame (VERDICT round 1, weak #1).
+    (The round-3/4 SUPER-grouped coarse level died with the two-level
+    cull: the strip-interval selection culls the dense block list
+    directly.)
     """
 
     packed: Any  # (B, 16, BLOCK) Woop rows 0..11, zeros, shadow row 15
-    block_bounds: Any  # (Bp, 8) [cx cy cz hx hy hz 0 0], Bp % SUPER == 0
-    sb_bounds: Any  # (Bp/SUPER, 8) super-block [center, half-extent]
+    block_bounds: Any  # (Bp, 8) [cx cy cz hx hy hz 0 0], Bp % 128 == 0
     block: int = static_field(default=256)
-    super: int = static_field(default=32)
 
 
 @pytree_dataclass

@@ -199,6 +199,27 @@ class TestStripIntervalSelect:
                 listed = set(cand_np[si, j, : c[si, j]])
                 assert needed <= listed
 
+    def test_chunked_selection_identical(self, monkeypatch):
+        """The lax.map tile chunking (the 1080p memory guard) must be
+        invisible in the selection outputs."""
+        scene = _terrain_scene(40)
+        accel = scene.tri_accel
+        cfg = st.RenderConfig(width=64, height=64, packet_tile_w=16,
+                              packet_tile_h=16)
+        cam = st.Camera.create(position=(0.0, 6.0, 8.0),
+                               angles=(1.2, 0.0, 0.0), fov=1.0)
+        o_t, d_t = self._bundle_setup(scene, cam, cfg)
+        live = jnp.ones(o_t.shape[:2], bool)
+        full = pk.strip_interval_select(
+            o_t, d_t, live, accel, 64, 16, 1e-4
+        )
+        monkeypatch.setattr(pk, "_SEL_CHUNK", 3)  # force pad + chunks
+        ch = pk.strip_interval_select(
+            o_t, d_t, live, accel, 64, 16, 1e-4
+        )
+        for a, b in zip(full, ch):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_parked_rays_cull_to_nothing(self):
         scene = _terrain_scene(40)
         accel = scene.tri_accel
@@ -231,12 +252,12 @@ class TestStripIntervalSelect:
         po, ro, pa, ra = pk.capsule_bundles(o_t, d_t, tm_t)
         mask, _ = pk.cull_capsule(
             po, ro, pa, ra,
-            accel.sb_bounds[:, 0:3], accel.sb_bounds[:, 3:6],
+            accel.block_bounds[:, 0:3], accel.block_bounds[:, 3:6],
         )
         mask = np.asarray(mask)[0]
-        # Reference: brute-force segment-vs-superblock-AABB overlap.
-        sbc = np.asarray(accel.sb_bounds[:, 0:3])
-        sbh = np.asarray(accel.sb_bounds[:, 3:6])
+        # Reference: brute-force segment-vs-block-AABB overlap.
+        sbc = np.asarray(accel.block_bounds[:, 0:3])
+        sbh = np.asarray(accel.block_bounds[:, 3:6])
         for i in range(n):
             ts = np.linspace(0, dist[i], 64)
             pts = o[i][None] + ts[:, None] * d[i][None]
