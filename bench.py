@@ -193,8 +193,7 @@ def packet_diagnostics(scene, cam, cfg):
             bt = bt.reshape(-1, sb)
             strip_visits = counts.astype(jnp.float32).mean(axis=1)
         done = jnp.minimum(bt, t_cap)  # (S, SB)
-        drop_r = jnp.repeat(dropped, sb // g, axis=1)
-        net = done > drop_r
+        net = done > dropped
         # PER-RAY visits: blocks of the ray's own interval list a
         # front-to-back walk would intersect (entry <= done) — the
         # item the whole round-5 selection exists to minimize.

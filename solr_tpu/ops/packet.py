@@ -431,10 +431,17 @@ def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
          min-entry, cut at ks.
 
     Any drop (tile prefilter overflow or strip list overflow) is
-    certified by ``dropped`` (S, G): a lower bound on the hit distance
-    inside ANY dropped block for rays of that strip (+FAR when nothing
-    was dropped).  The caller proves per-ray exactness with it and
-    union-net-walks the (measured-zero at K=64) remainder.
+    certified PER RAY by ``dropped`` (S, SB): a lower bound on the hit
+    distance inside ANY dropped block for that ray (+FAR when nothing
+    was dropped or the ray provably misses every dropped block).  Tile
+    prefilter drops are bounded by the ray's slab entry into the AABB
+    of the dropped set — a reflected sky ray whose path leaves the
+    dropped region is proven exact even though its box exit is huge
+    (the tile-level distance bound of the first round-5 cut marked ALL
+    such rays unproven, and the union net made bounce 1 cost 2x bounce
+    0).  Strip-list overflow is bounded by the (K+1)-th strip entry.
+    The caller union-net-walks the (measured-zero at the default
+    widths) remainder.
 
     Args: o_t/d_t (S, SB, 3); live (S, SB) bool; accel a TriAccel;
     kt/ks the prefilter and per-strip widths; tm_t (S, SB) per-ray
@@ -442,7 +449,7 @@ def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
 
     Returns (cand (S, G, K) int32, counts (S, G) int32,
     nearb (S, G, K) ascending entry bounds (+FAR past counts),
-    dropped (S, G)).
+    dropped (S, SB)).
 
     Large frames chunk the tile axis through lax.map (one compile):
     the per-ray slab matrices are (chunk, SB, Kt) — at 1080p stereo
@@ -482,30 +489,50 @@ def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
         po, ro, axis, cos_g = make_bundles(o_t, d_t, live)
         mask, near = cull_blocks(po, ro, axis, cos_g, bb[:, 0:3],
                                  bb[:, 3:6])
-        # Cone `near` is a true ray-distance lower bound.
-        drop_dist = lambda v: v
     else:
         po, ro, pa, ra = capsule_bundles(o_t, d_t, tm_t, live)
         mask, near = cull_capsule(po, ro, pa, ra, bb[:, 0:3], bb[:, 3:6])
-        # Capsule slack is NOT a distance along the ray: a prefilter
-        # drop is certified as "could start anywhere" (bound 0), which
-        # marks every live ray of the tile unproven — conservative, and
-        # unreachable at Kt=256 (max tile candidates measured 96).
-        drop_dist = lambda v: jnp.zeros_like(v)
     mask = mask & jnp.any(live, axis=1)[:, None]
 
     kt_eff = min(kt, nb)
     score = jnp.where(mask, -near, -big)
-    topv, topi = jax.lax.top_k(score, min(kt_eff + 1, nb))
-    tile_cand = topi[:, :kt_eff]
-    tile_valid = topv[:, :kt_eff] > -big * 0.5
+    topv, topi = jax.lax.top_k(score, kt_eff)
+    tile_cand = topi
+    tile_valid = topv > -big * 0.5
+
+    # Per-ray tile-drop certificate: the AABB of the cull-passing
+    # blocks the prefilter did NOT keep.  A hit inside any dropped
+    # block lies inside this box, so the ray's slab entry into it is a
+    # valid lower bound — and a ray whose path misses the box entirely
+    # is proven exact regardless of how far it travels.
     if nb > kt_eff:
+        sel = jnp.zeros((s_tiles, nb), bool).at[
+            jnp.arange(s_tiles)[:, None], tile_cand
+        ].set(tile_valid)
+        drop = mask & ~sel  # (S, B)
+        dmin = jnp.stack([
+            jnp.min(jnp.where(drop, bb[:, i][None] - bb[:, 3 + i][None],
+                              big), axis=1)
+            for i in range(3)
+        ], axis=-1)  # (S, 3)
+        dmax = jnp.stack([
+            jnp.max(jnp.where(drop, bb[:, i][None] + bb[:, 3 + i][None],
+                              -big), axis=1)
+            for i in range(3)
+        ], axis=-1)
+        dc = 0.5 * (dmin + dmax)
+        dh = jnp.maximum(0.5 * (dmax - dmin), 0.0)  # empty -> inverted
+        entry_d, hit_d = slab_entries_g(
+            o_t, d_t, jnp.concatenate(
+                [dc, dh, jnp.zeros((s_tiles, 2), o_t.dtype)], axis=-1
+            )[:, None, :], t_min,
+        )  # (S, SB, 1)
+        any_drop = jnp.any(drop, axis=1)
         tile_dropped = jnp.where(
-            topv[:, kt_eff] > -big * 0.5, drop_dist(-topv[:, kt_eff]),
-            T_FAR,
-        )
+            hit_d[..., 0] & any_drop[:, None], entry_d[..., 0], T_FAR
+        )  # (S, SB)
     else:
-        tile_dropped = jnp.full((s_tiles,), T_FAR, o_t.dtype)
+        tile_dropped = jnp.full((s_tiles, sb), T_FAR, o_t.dtype)
 
     bbg = jnp.take(bb, tile_cand, axis=0)  # (S, Kt, 8)
     entry, hitm = slab_entries_g(o_t, d_t, bbg, t_min)
@@ -526,9 +553,17 @@ def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
     cand = jnp.take_along_axis(
         jnp.broadcast_to(tile_cand[:, None, :], (s_tiles, g, kt_eff)),
         sel, axis=-1,
-    )
-    cand = jnp.where(valid2, cand, 0).astype(jnp.int32)
+    ).astype(jnp.int32)
     counts = valid2.sum(axis=-1).astype(jnp.int32)
+    # Invalid slots repeat the strip's LAST valid id (0 for empty
+    # strips): the kernel's slab index_map is then a bare SMEM load —
+    # no per-step clamp arithmetic — and consecutive equal indices let
+    # the pipeline skip the copy once a strip is exhausted.
+    last = jnp.take_along_axis(
+        cand, jnp.maximum(counts - 1, 0)[..., None], axis=-1
+    )
+    cand = jnp.where(valid2, cand, jnp.where(counts[..., None] > 0,
+                                             last, 0))
     nearb = jnp.where(valid2, -v2[..., :ks_eff], T_FAR)
     if kt_eff > ks_eff:
         strip_dropped = jnp.where(
@@ -536,7 +571,9 @@ def strip_interval_select(o_t, d_t, live, accel, kt: int, ks: int,
         )
     else:
         strip_dropped = jnp.full((s_tiles, g), T_FAR, o_t.dtype)
-    dropped = jnp.minimum(strip_dropped, tile_dropped[:, None])
+    dropped = jnp.minimum(
+        jnp.repeat(strip_dropped, sb // g, axis=1), tile_dropped
+    )
     return cand, counts, nearb, dropped
 
 

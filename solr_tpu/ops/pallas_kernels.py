@@ -206,36 +206,46 @@ def _closest_kernel(*refs, block, t_min, prim, g):
     # ray's completion bound.  Entries are sorted ascending, and the
     # bound only decreases, so the first skip is permanent — exactly a
     # per-strip front-to-back early-out, at scalar predicate cost.
-    for j in range(g):
-        run_j = (k < counts_ref[s, j]) & (
-            nearb_ref[s, j, k] < done_ref[j]
-        )
+    runs = [
+        (k < counts_ref[s, j]) & (nearb_ref[s, j, k] < done_ref[j])
+        for j in range(g)
+    ]
+    any_run = functools.reduce(lambda a, b: a | b, runs)
 
-        @pl.when(run_j)
-        def _(j=j):
-            rj = rsc_ref[j * ssb : (j + 1) * ssb, :]  # (ssb, 16)
-            w = slab_refs[j][0]  # (16, BLOCK)
-            t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
-            c_min = jnp.min(t, axis=1, keepdims=True)  # (ssb, 1)
-            pid = cand_ref[s, j, k] * block + jax.lax.broadcasted_iota(
-                jnp.int32, (1, block), 1
-            )
-            c_idx = jnp.min(
-                jnp.where(t <= c_min, pid, _BIG_I), axis=1, keepdims=True
-            )
-            btj = bt_ref[0, j * ssb : (j + 1) * ssb]
-            better = c_min < btj
-            new_bt = jnp.where(better, c_min, btj)
-            bt_ref[0, j * ssb : (j + 1) * ssb] = new_bt
-            bi_ref[0, j * ssb : (j + 1) * ssb] = jnp.where(
-                better, c_idx, bi_ref[0, j * ssb : (j + 1) * ssb]
-            )
-            live_j = rj[:, 9:10] > 0.0
-            cap_j = rj[:, 8:9]
-            done_ref[j] = jnp.max(
-                jnp.where(live_j, jnp.minimum(new_bt, cap_j), 0.0)
-            )
-            nv_ref[0] = nv_ref[0] + 1
+    # One OUTER branch gates the whole step: a fully-skipped step costs
+    # g scalar predicate evaluations + one branch.  The naked 8-branch
+    # form measured ~2.0 us PER SKIPPED STEP (probe_sweep run_frac
+    # 0.125, round 5) — at grid K=64 that is ~90 ms of skip overhead
+    # per full-frame sweep; the outer gate removes ~7/8 of it.
+    @pl.when(any_run)
+    def _():
+        for j in range(g):
+            @pl.when(runs[j])
+            def _(j=j):
+                rj = rsc_ref[j * ssb : (j + 1) * ssb, :]  # (ssb, 16)
+                w = slab_refs[j][0]  # (16, BLOCK)
+                t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
+                c_min = jnp.min(t, axis=1, keepdims=True)  # (ssb, 1)
+                pid = (cand_ref[s, j, k] * block
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (1, block), 1))
+                c_idx = jnp.min(
+                    jnp.where(t <= c_min, pid, _BIG_I), axis=1,
+                    keepdims=True,
+                )
+                btj = bt_ref[0, j * ssb : (j + 1) * ssb]
+                better = c_min < btj
+                new_bt = jnp.where(better, c_min, btj)
+                bt_ref[0, j * ssb : (j + 1) * ssb] = new_bt
+                bi_ref[0, j * ssb : (j + 1) * ssb] = jnp.where(
+                    better, c_idx, bi_ref[0, j * ssb : (j + 1) * ssb]
+                )
+                live_j = rj[:, 9:10] > 0.0
+                cap_j = rj[:, 8:9]
+                done_ref[j] = jnp.max(
+                    jnp.where(live_j, jnp.minimum(new_bt, cap_j), 0.0)
+                )
+                nv_ref[0] = nv_ref[0] + 1
 
 
 def _trans_kernel(*refs, block, t_min, prim, g):
@@ -263,34 +273,44 @@ def _trans_kernel(*refs, block, t_min, prim, g):
 
     # Occlusion has no distance order: a strip visits every candidate
     # on its list, but stops once all its live rays are extinguished.
-    for j in range(g):
-        run_j = (k < counts_ref[s, j]) & (lit_ref[j] > 1e-6)
+    runs = [
+        (k < counts_ref[s, j]) & (lit_ref[j] > 1e-6) for j in range(g)
+    ]
+    any_run = functools.reduce(lambda a, b: a | b, runs)
 
-        @pl.when(run_j)
-        def _(j=j):
-            rj = rsc_ref[j * ssb : (j + 1) * ssb, :]
-            w = slab_refs[j][0]
-            t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
-            occ = t < rj[:, 8:9]
-            f = jnp.where(occ, w[15:16, :], 1.0)
-            # Lane product via exp(sum(log)): Mosaic has no reduce_prod
-            # lowering on this path.  Exact at the boundaries (log(0) =
-            # -inf -> exp = 0; log(1) = 0) and f in [0, 1].
-            logf = jnp.log(jnp.maximum(f, 0.0))
-            trj = tr_ref[0, j * ssb : (j + 1) * ssb]
-            new_tr = trj * jnp.exp(jnp.sum(logf, axis=1, keepdims=True))
-            tr_ref[0, j * ssb : (j + 1) * ssb] = new_tr
-            live_j = rj[:, 9:10] > 0.0
-            lit_ref[j] = jnp.max(jnp.where(live_j, new_tr, 0.0))
-            nv_ref[0] = nv_ref[0] + 1
+    @pl.when(any_run)  # one-branch skip (see _closest_kernel)
+    def _():
+        for j in range(g):
+            @pl.when(runs[j])
+            def _(j=j):
+                rj = rsc_ref[j * ssb : (j + 1) * ssb, :]
+                w = slab_refs[j][0]
+                t = _PRIM_ROWS[prim](rj, w, t_min)  # (ssb, BLOCK)
+                occ = t < rj[:, 8:9]
+                f = jnp.where(occ, w[15:16, :], 1.0)
+                # Lane product via a halving tree (Mosaic has no
+                # reduce_prod lowering): log2(BLOCK) elementwise
+                # multiplies ~ one extra op over the slab — replaces
+                # the round-4 exp(sum(log)) whose (ssb, BLOCK)
+                # transcendentals were the kernel's priciest ops.
+                p = f
+                while p.shape[1] > 1:
+                    h = p.shape[1] // 2
+                    p = p[:, :h] * p[:, h:]
+                trj = tr_ref[0, j * ssb : (j + 1) * ssb]
+                new_tr = trj * p
+                tr_ref[0, j * ssb : (j + 1) * ssb] = new_tr
+                live_j = rj[:, 9:10] > 0.0
+                lit_ref[j] = jnp.max(jnp.where(live_j, new_tr, 0.0))
+                nv_ref[0] = nv_ref[0] + 1
 
 
 def _make_slab_index(j):
     def slab_index(s, k, counts, cand, nearb):
-        # Clamp exhausted strips to their last candidate: consecutive
-        # equal block indices make the pipeline skip the re-copy.
-        kc = jnp.minimum(k, jnp.maximum(counts[s, j] - 1, 0))
-        return cand[s, j, kc], 0, 0
+        # Bare SMEM load: exhausted strips' slots repeat their last
+        # candidate id (strip_interval_select pre-clamps), so the
+        # pipeline skips the copy without per-step index arithmetic.
+        return cand[s, j, k], 0, 0
 
     return slab_index
 
@@ -338,11 +358,26 @@ def _sweep_call(kernel, packed, rays_t, cand, counts, nearb, t_min,
     )(counts, cand, nearb, rays_t, *([packed] * g))
 
 
-def _chunked(fn, args_per_tile, s_tiles, chunk):
+def _chunked(fn, args_per_tile, s_tiles, chunk, idle_fn=None):
     """Run ``fn`` over tile chunks via lax.map (one compile, small
-    scalar-prefetch SMEM footprint per call)."""
+    scalar-prefetch SMEM footprint per call).
+
+    ``idle_fn(*chunk_args)`` — when given — replaces a chunk whose
+    strip counts are all zero under ``lax.cond``.  After the Morton
+    compaction packs live rays into the leading tiles, secondary
+    bounces leave most chunks fully parked; without the skip each dead
+    chunk still serializes its whole (chunk, K) grid at ~2.5 us per
+    skipped step — 9 index_map/pipeline evaluations per step, measured
+    round 5 — which made bounce 1 cost 2x bounce 0 at 5% live rays.
+    The skip is exact: a zero-count chunk's kernel output equals its
+    k==0 init values.  args_per_tile[2] must be ``counts``.
+    """
     if s_tiles <= chunk:
-        return fn(*args_per_tile)
+        if idle_fn is None:
+            return fn(*args_per_tile)
+        return jax.lax.cond(
+            jnp.any(args_per_tile[2] > 0), fn, idle_fn, *args_per_tile
+        )
     pad = (-s_tiles) % chunk
     if pad:
         args_per_tile = [
@@ -353,7 +388,13 @@ def _chunked(fn, args_per_tile, s_tiles, chunk):
     stacked = [
         a.reshape((n, chunk) + a.shape[1:]) for a in args_per_tile
     ]
-    outs = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
+
+    def one(xs):
+        if idle_fn is None:
+            return fn(*xs)
+        return jax.lax.cond(jnp.any(xs[2] > 0), fn, idle_fn, *xs)
+
+    outs = jax.lax.map(one, tuple(stacked))
     outs = jax.tree_util.tree_map(
         lambda o: o.reshape((n * chunk,) + o.shape[2:])[:s_tiles], outs
     )
@@ -397,8 +438,16 @@ def sweep_closest(packed, rays_t, cand, counts, nearb, t_min,
             t_min, 2, interpret, prim,
         )
 
+    def idle(rays_t, cand, counts, nearb):
+        c = cand.shape[0]
+        sb = rays_t.shape[2]
+        return (jnp.full((c, sb, 1), T_FAR, jnp.float32),
+                jnp.full((c, sb, 1), _BIG_I, jnp.int32),
+                jnp.zeros((c, 1, 1), jnp.int32))
+
     bt, bi, nv = _chunked(
-        one, [rays_t, cand, counts, nearb], s_tiles, chunk
+        one, [rays_t, cand, counts, nearb], s_tiles, chunk,
+        idle_fn=idle,
     )
     sb = rays_t.shape[2]
     bi = bi.reshape(s_tiles, sb)
@@ -422,8 +471,15 @@ def sweep_transmittance(packed, rays_t, cand, counts, t_min,
             t_min, 1, interpret, prim,
         )
 
+    def idle(rays_t, cand, counts, nearb):
+        c = cand.shape[0]
+        sb = rays_t.shape[2]
+        return (jnp.ones((c, sb, 1), jnp.float32),
+                jnp.zeros((c, 1, 1), jnp.int32))
+
     tr, nv = _chunked(
-        one, [rays_t, cand, counts, nearb], s_tiles, chunk
+        one, [rays_t, cand, counts, nearb], s_tiles, chunk,
+        idle_fn=idle,
     )
     sb = rays_t.shape[2]
     return tr.reshape(s_tiles, sb), nv.reshape(s_tiles)

@@ -44,22 +44,37 @@ _PARK_POS = PARK_POS
 _PARK_DIR = PARK_DIR
 
 
-def _compact_perm(live):
-    """Stable live-first compaction permutation.
+def _compact_perm(live, key=None):
+    """Live-first compaction permutation, optionally SPATIALLY SORTED.
 
-    Returns (perm, target): ``x[perm]`` packs live rays to the front
-    (original tile-major order preserved within each class, keeping
-    packet coherence), ``y[target]`` undoes it.  The TPU-native
-    replacement for the wavefront ray-compaction pass (SURVEY.md
-    section 7 M3): cumsum + one scatter, no sort.
+    Returns (perm, target): ``x[perm]`` packs live rays to the front,
+    ``y[target]`` undoes it.  The TPU-native replacement for the
+    wavefront ray-compaction pass (SURVEY.md section 7 M3).
+
+    ``key`` (R,) orders the live rays (Morton code of the bounce
+    origin).  Without it, secondary bounces pack live rays from ACROSS
+    the frame into the leading tiles in pixel order: such a tile's
+    bundle spans the whole scene, the prefilter's near bounds collapse
+    to ~0, every ray fails the exactness proof, and the union net
+    brute-forces — measured as bounce 1 costing 584 ms vs bounce 0's
+    ~260 ms at 1M/512² (round-5 frame_var probe) for ~5% live rays.
+    Morton-sorting restores tile-bundle locality, which is what the
+    whole packet design feeds on.
     """
-    li = live.astype(jnp.int32)
-    n_live = jnp.sum(li)
-    pos_live = jnp.cumsum(li) - 1
-    pos_dead = n_live + jnp.cumsum(1 - li) - 1
-    target = jnp.where(live, pos_live, pos_dead).astype(jnp.int32)
     r = live.shape[0]
-    perm = jnp.zeros((r,), jnp.int32).at[target].set(
+    if key is None:
+        li = live.astype(jnp.int32)
+        n_live = jnp.sum(li)
+        pos_live = jnp.cumsum(li) - 1
+        pos_dead = n_live + jnp.cumsum(1 - li) - 1
+        target = jnp.where(live, pos_live, pos_dead).astype(jnp.int32)
+        perm = jnp.zeros((r,), jnp.int32).at[target].set(
+            jnp.arange(r, dtype=jnp.int32)
+        )
+        return perm, target
+    sort_key = jnp.where(live, key.astype(jnp.float32), jnp.inf)
+    perm = jnp.argsort(sort_key).astype(jnp.int32)  # stable
+    target = jnp.zeros((r,), jnp.int32).at[perm].set(
         jnp.arange(r, dtype=jnp.int32)
     )
     return perm, target
@@ -105,10 +120,20 @@ def trace_rays(
     def bounce(carry, bounce_key):
         o, d, thru, color, live, dist0 = carry
         if packet is not None and cfg.compact_rays:
-            # Wavefront compaction: pack live rays into leading tiles and
+            # Wavefront compaction: pack live rays into leading tiles
+            # in MORTON ORDER of their origins (see _compact_perm) and
             # park dead ones where the cull rejects every block, so
-            # retired tiles skip traversal entirely.
-            perm, target = _compact_perm(jax.lax.stop_gradient(live))
+            # retired tiles skip traversal and live tiles stay
+            # spatially tight.
+            from solr_tpu.ops.traverse import _spatial_keys
+
+            sg = jax.lax.stop_gradient
+            o_sg = sg(o)
+            lv = sg(live)
+            omin = jnp.min(jnp.where(lv[:, None], o_sg, jnp.inf), 0)
+            omax = jnp.max(jnp.where(lv[:, None], o_sg, -jnp.inf), 0)
+            keys = _spatial_keys(o_sg, omin, omax)
+            perm, target = _compact_perm(lv, keys)
             o, d, thru, color, live, dist0 = (
                 o[perm], d[perm], thru[perm], color[perm], live[perm],
                 dist0[perm],

@@ -684,9 +684,8 @@ def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):
         bi = bi.reshape(-1, tile_rays)
 
     if exact and net_bvh is not None:
-        drop_r = jnp.repeat(dropped, tile_rays // g, axis=1)  # (S, SB)
         need = (
-            live & (jnp.minimum(bt, t_cap) > drop_r)
+            live & (jnp.minimum(bt, t_cap) > dropped)
         ).reshape(r)
         bt_f, bi_f = bt.reshape(r), bi.reshape(r)
         # Spatial sort key: the ray segment's midpoint (bounded by the
@@ -880,8 +879,7 @@ def _tri_packet_transmittance(scene, o, d, t_max, t_min, packet,
             tr = tr.reshape(-1, tile_rays)
         # A dropped block occludes a ray only if its interval can start
         # before the ray's light distance.
-        drop_r = jnp.repeat(dropped, tile_rays // g, axis=1)
-        need = live & (drop_r < jnp.minimum(tm_t, _TF * 0.5))
+        need = live & (dropped < jnp.minimum(tm_t, _TF * 0.5))
         return tr.reshape(o2.shape[:-1]), need.reshape(o2.shape[:-1])
 
     def net(o2, d2, tm2, tr, need):  # conditional exactness walk

@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 TRIS = int(os.environ.get("SOLR_BENCH_TRIS", 1_000_000))
-VIRT_TRIS = int(os.environ.get("SOLR_STEREO_VIRT_TRIS", 100_000))
+VIRT_TRIS = int(os.environ.get("SOLR_STEREO_VIRT_TRIS", 50_000))
 W, H = 1920, 1080
 ARTIFACT = os.path.join(REPO, "ARTIFACT_stereo1080p.json")
 
@@ -124,8 +124,7 @@ def virtual_sharded():
 
     from solr_tpu.ops.render import render_sample
     from solr_tpu.parallel import (
-        init_zero_opt_state, make_mesh, make_sharded_train_step,
-        shard_render,
+        make_mesh, make_sharded_train_step, shard_render,
     )
 
     scene, cam, cfg = _build(VIRT_TRIS)
@@ -150,7 +149,9 @@ def virtual_sharded():
     step, _ = make_sharded_train_step(
         scene2, cam2, cfg2, mesh, opt, grad_reduce="psum"
     )
-    state = init_zero_opt_state(scene2, opt, mesh)
+    # psum mode keeps the optimizer state replicated over the params
+    # pytree (ZeRO/flat state is the reduce_scatter mode's contract).
+    state = opt.init(scene2.params)
     target = jnp.asarray(np.asarray(
         jax.jit(lambda s, c: render_sample(s, c, cfg2))(scene2, cam2)[0]
     )[..., :3])
@@ -179,6 +180,12 @@ def main():
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8"
                         ).strip()
+    # The CPU child sweeps through the XLA strip path, whose per-step
+    # gather is (strips, 16, BLOCK): smaller blocks + lists keep the
+    # digest check to minutes (exactness is certificate-guaranteed at
+    # any width, so these are pure cost knobs).
+    env.setdefault("SOLR_PACKET_BLOCK", "128")
+    env.setdefault("SOLR_BENCH_K", "32")
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
