@@ -591,38 +591,43 @@ def _compacted_net(need, carry, walk_chunk, sort_key=None):
     r = need.shape[0]
     cap = _net_capacity(r)
     n_chunks = -(-r // cap)
-    # Padded to n_chunks*cap so every dynamic_slice chunk is disjoint
-    # (a clamped final slice would re-walk rays — transmittance factors
-    # must be applied exactly once).
-    idx_all = jnp.nonzero(need, size=n_chunks * cap, fill_value=r)[0]
-    if sort_key is not None:
-        # Stable two-level order: (active-first, spatial key).  Padding
-        # (idx == r) keys to +inf so inactive slots stay at the tail
-        # and the leading chunks remain the only active ones.
-        key = jnp.where(
-            idx_all < r,
-            sort_key[jnp.minimum(idx_all, r - 1)].astype(jnp.float32),
-            jnp.inf,
-        )
-        order = jnp.argsort(key)
-        idx_all = idx_all[order]
 
-    def chunk_body(c, carry):
-        idx = jax.lax.dynamic_slice_in_dim(idx_all, c * cap, cap)
-        act = idx < r
-        return jax.lax.cond(
-            jnp.any(act),
-            lambda carry: walk_chunk(idx, act, carry),
-            lambda carry: carry,
-            carry,
-        )
+    def run_net(carry):
+        # ALL net prep lives inside the cond: the nonzero compaction
+        # and especially the spatial argsort (a 1-row argsort costs
+        # 40-85 ms on the chip — round-5 measurement) must cost nothing
+        # on the frames whose certificates all hold.  Padded to
+        # n_chunks*cap so every dynamic_slice chunk is disjoint (a
+        # clamped final slice would re-walk rays — transmittance
+        # factors must be applied exactly once).
+        idx_all = jnp.nonzero(need, size=n_chunks * cap, fill_value=r)[0]
+        if sort_key is not None:
+            # Stable two-level order: (active-first, spatial key).
+            # Padding (idx == r) keys to +inf so inactive slots stay at
+            # the tail and the leading chunks remain the only active
+            # ones.
+            key = jnp.where(
+                idx_all < r,
+                sort_key[jnp.minimum(idx_all, r - 1)].astype(
+                    jnp.float32),
+                jnp.inf,
+            )
+            order = jnp.argsort(key)
+            idx_all = idx_all[order]
 
-    return jax.lax.cond(
-        need.any(),
-        lambda carry: jax.lax.fori_loop(0, n_chunks, chunk_body, carry),
-        lambda carry: carry,
-        carry,
-    )
+        def chunk_body(c, carry):
+            idx = jax.lax.dynamic_slice_in_dim(idx_all, c * cap, cap)
+            act = idx < r
+            return jax.lax.cond(
+                jnp.any(act),
+                lambda carry: walk_chunk(idx, act, carry),
+                lambda carry: carry,
+                carry,
+            )
+
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+
+    return jax.lax.cond(need.any(), run_net, lambda carry: carry, carry)
 
 
 def _tri_packet_closest(scene, o, d, t_min, packet, prim="tri"):

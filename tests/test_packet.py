@@ -199,6 +199,37 @@ class TestStripIntervalSelect:
                 listed = set(cand_np[si, j, : c[si, j]])
                 assert needed <= listed
 
+    def test_drop_certificate_is_per_ray(self):
+        """A tiny tile prefilter forces drops; rays whose slab MISSES
+        the dropped set's AABB must stay proven (+FAR certificate)
+        while rays heading into it must not.  (Round-5 fix: the old
+        tile-level distance bound marked every far-travelling ray
+        unproven, and bounce-1 sky reflections all fell into the union
+        net — PERF.md.)"""
+        scene = _terrain_scene(40)
+        accel = scene.tri_accel
+        n_blocks = int(accel.packed.shape[0])
+        assert n_blocks > 4
+        # Origin above the terrain; half the rays look down (into
+        # geometry), half look up (sky).
+        n = 256
+        o = np.tile(np.array([[0.0, 3.0, 10.0]], np.float32), (n, 1))
+        d = np.zeros((n, 3), np.float32)
+        d[: n // 2] = [0.0, -1.0, 0.2]
+        d[n // 2 :] = [0.0, 1.0, 0.2]
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o_t = jnp.asarray(o)[None]
+        d_t = jnp.asarray(d)[None]
+        live = jnp.ones((1, n), bool)
+        cand, counts, nearb, dropped = pk.strip_interval_select(
+            o_t, d_t, live, accel, kt=2, ks=2, t_min=1e-4
+        )
+        dropped = np.asarray(dropped)[0]
+        # Down rays head into the dropped terrain blocks: finite bound.
+        assert (dropped[: n // 2] < 1e29).all()
+        # Up rays provably miss every dropped block: certificate +FAR.
+        assert (dropped[n // 2 :] > 1e29).all()
+
     def test_chunked_selection_identical(self, monkeypatch):
         """The lax.map tile chunking (the 1080p memory guard) must be
         invisible in the selection outputs."""
