@@ -370,6 +370,12 @@ def _run(n_tris, metrics):
             "bytes_accessed": cost["bytes_accessed"],
             "bound": cost["bound"],
             "roofline_ms": round(cost["roofline_s"] * 1000, 3),
+            # XLA cost analysis sums BOTH branches of every lax.cond,
+            # so on a program with conditional exactness-net fallbacks
+            # these figures are upper bounds dominated by never-taken
+            # branches (PERF.md round 5 — the honest per-phase bytes
+            # are in bytes_by_phase_gb).
+            "note": "upper bound: includes untaken lax.cond branches",
         }
     except Exception as e:  # pragma: no cover
         result["roofline"] = {"error": str(e)[:120]}
