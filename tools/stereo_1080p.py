@@ -40,20 +40,22 @@ W, H = 1920, 1080
 ARTIFACT = os.path.join(REPO, "ARTIFACT_stereo1080p.json")
 
 
-def _cfg_stereo(width=W, height=H):
+def _cfg_stereo(width=W, height=H, tile_h=9):
     import solr_tpu as st
 
     return dict(
         width=width, height=height, max_bounces=2,
         camera_mode=st.CameraMode.SIDE_BY_SIDE,
         gradient_background=True,
-        # 32x9 pixel tiles: 9 divides every 135-row device band AND the
-        # full 1080; 288 rays = nine 32-ray strips.
-        packet_tile_w=32, packet_tile_h=9,
+        # Sharded runs need 32x9 tiles (9 divides the 135-row 8-way
+        # device bands); the single-chip run uses 32x8 (256 rays — the
+        # lane-aligned shape every other frame uses; a 288-ray tile's
+        # (1, 16, 288) blocks crash the remote Mosaic compile helper).
+        packet_tile_w=32, packet_tile_h=tile_h,
     )
 
 
-def _build(n_tris, width=W, height=H):
+def _build(n_tris, width=W, height=H, tile_h=9):
     import bench as bench_mod
     import dataclasses
     import solr_tpu as st
@@ -61,7 +63,7 @@ def _build(n_tris, width=W, height=H):
     bench_mod.N_TRIS = n_tris
     bench_mod.WIDTH, bench_mod.HEIGHT = width, height
     scene, cam, cfg = bench_mod.build_scene()
-    cfg = dataclasses.replace(cfg, **_cfg_stereo(width, height))
+    cfg = dataclasses.replace(cfg, **_cfg_stereo(width, height, tile_h))
     return scene, cam, cfg
 
 
@@ -75,7 +77,7 @@ def real_chip():
 
     from solr_tpu.ops.render import render_sample
 
-    scene, cam, cfg = _build(TRIS)
+    scene, cam, cfg = _build(TRIS, tile_h=8)  # single-chip: 1080 = 135*8
 
     def frame(scene, cam):
         img, _ = render_sample(scene, cam, cfg)
