@@ -65,16 +65,20 @@ __all__ = [
 
 _BIG_I = 2**31 - 1  # python int: jnp scalars would be captured consts
 
-# Scalar-prefetch SMEM budget per pallas_call (bytes).  The per-strip
-# candidate tables cost chunk * G * (2K + 1) * 4 bytes; tile_chunk()
-# sizes the lax.map chunk so they fit with headroom under the ~1 MB
-# SMEM.
-_SMEM_BUDGET = 512 * 1024
+# Scalar-prefetch SMEM budget per pallas_call (bytes).  Mosaic pads
+# each prefetch row's minor dim to a 64-lane multiple AND
+# double-buffers the operands: a K=48 table at chunk 128 measured
+# 1.06 MB of the 1.00 MB SMEM ("Ran out of memory in memory space
+# smem" through the compile helper, round 5) — per tile the real cost
+# is 2 * G * (2*pad64(K) + 1) * 4 bytes.  tile_chunk() sizes the
+# lax.map chunk against that model with headroom.
+_SMEM_BUDGET = 800 * 1024
 
 
 def tile_chunk(g: int, k: int) -> int:
     """Tiles per pallas_call for a (G strips, K candidates) sweep."""
-    per_tile = g * (2 * k + 1) * 4 + 8
+    k_pad = max(64, -(-k // 64) * 64)
+    per_tile = 2 * (g * (2 * k_pad + 1) * 4 + 8)
     c = max(8, _SMEM_BUDGET // per_tile)
     return min(256, 1 << (c.bit_length() - 1))  # pow2: clean padding
 
